@@ -1,0 +1,189 @@
+"""Batched CRC computation as a GF(2) matmul on the MXU.
+
+The reference computes CRCs with a sequential byte-at-a-time table loop
+(crc.hpp:121-155). That is a poor fit for a TPU, but a CRC is a GF(2)-affine
+function of the message, which gives a fully parallel formulation:
+
+With zero initial register value, the CRC state update per byte is *linear*
+(s' = A s xor T[b], and T[0] = 0, A 0 = 0), so **leading zero bytes do not
+change the CRC**. Therefore, for messages front-padded with zeros to a fixed
+``max_len``:
+
+    crc(msg, init, xorout) = lut_init[len] ^ (bits_frontpadded @ G) ^ xorout
+
+where ``G`` is a fixed ``[8*max_len, 32]`` GF(2) matrix (one column per
+message bit position) and ``lut_init[L] = A^L(init)`` accounts for the initial
+register value being clocked through ``L`` message bytes. The matmul runs on
+the MXU batched over packets (exact: f32 accumulation of 0/1 products), the
+mod-2 is one elementwise op, and the init term is a tiny per-length lookup.
+
+This matches the reference CRC-32 (poly 0x4C11DB7, init/xorout 0xFFFFFFFF,
+reflected in/out — i.e. zlib crc32) bit-for-bit; a generic parameterized host
+implementation is also provided for tests and other CRC configurations.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import constants as C
+
+__all__ = ["CrcRef", "crc32_ref", "CrcEngine", "make_crc32_engine"]
+
+
+class CrcRef:
+    """Generic table-driven CRC (host/numpy), parameter-compatible with the
+    reference Crc class (crc.hpp:67-155). Used as the test oracle and for
+    host-side processing."""
+
+    def __init__(
+        self,
+        num_bits: int = 32,
+        poly: int = C.CRC32_POLY,
+        initial_value: int = C.CRC32_INITIAL,
+        final_xor: int = C.CRC32_FINAL_XOR,
+        input_reflected: bool = True,
+        result_reflected: bool = True,
+    ):
+        if num_bits < 8 or num_bits > 64:
+            raise ValueError("CRC size must be between 8 and 64 bits")
+        self.num_bits = num_bits
+        self.mask = (1 << num_bits) - 1
+        self.initial_value = initial_value & self.mask
+        self.final_xor = final_xor & self.mask
+        self.input_reflected = input_reflected
+        self.result_reflected = result_reflected
+        self.table = self._build_table(poly)
+
+    def _reflect(self, word: int) -> int:
+        ret = word & 1
+        for _ in range(1, self.num_bits):
+            word >>= 1
+            ret = (ret << 1) | (word & 1)
+        return ret
+
+    def _build_table(self, poly: int) -> np.ndarray:
+        table = np.zeros(256, dtype=np.uint64)
+        if self.input_reflected:
+            poly = self._reflect(poly)
+            crc = 1
+            i = 128
+            while i > 0:
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+                for j in range(0, 256, 2 * i):
+                    table[i + j] = (crc ^ table[j]) & self.mask
+                i >>= 1
+        else:
+            msb = 1 << (self.num_bits - 1)
+            crc = msb
+            i = 1
+            while i < 256:
+                crc = ((crc << 1) ^ poly) if crc & msb else (crc << 1)
+                crc &= (self.mask << 1) | 1
+                for j in range(i):
+                    table[i + j] = (crc ^ table[j]) & self.mask
+                i <<= 1
+        return table
+
+    def compute(self, data) -> int:
+        rem = self.initial_value
+        table = self.table
+        if self.input_reflected:
+            for byte in np.asarray(data, dtype=np.uint8):
+                idx = (rem ^ int(byte)) & 0xFF
+                rem = int(table[idx]) ^ (rem >> 8)
+        else:
+            for byte in np.asarray(data, dtype=np.uint8):
+                idx = ((rem >> (self.num_bits - 8)) ^ int(byte)) & 0xFF
+                rem = (int(table[idx]) ^ (rem << 8)) & self.mask
+        if self.input_reflected != self.result_reflected:
+            rem = self._reflect(rem)
+        return rem ^ self.final_xor
+
+
+def crc32_ref(data) -> int:
+    """Reference CRC-32 of a byte sequence (host)."""
+    return CrcRef().compute(data)
+
+
+def _zero_byte_step(vec: int, table: np.ndarray) -> int:
+    """Apply the linear 'clock one zero byte' map A to a 32-bit state vector
+    (reflected convention): s' = T[s & 0xff] ^ (s >> 8)."""
+    return int(table[vec & 0xFF]) ^ (vec >> 8)
+
+
+class CrcEngine:
+    """Batched reflected CRC-32 over ragged byte packets ``[B, max_len]``.
+
+    ``data`` rows are left-aligned; ``lengths`` gives the valid byte count per
+    row. ``max_len`` is a static bound. The engine front-pads (right-aligns)
+    each row, unpacks to MSB-first bits and evaluates the GF(2) matmul.
+    """
+
+    def __init__(self, max_len: int):
+        self.max_len = int(max_len)
+        ref = CrcRef()
+        table = ref.table
+        # G matrix: column (p, k) = CRC (init 0, no xorout) of a max_len
+        # message whose byte p has value with MSB-first bit k set.
+        # Contribution of a byte at distance d from the end: A^d(T[b]).
+        # Built back-to-front with one application of A per position.
+        g = np.zeros((self.max_len, 8), dtype=np.uint64)
+        basis = np.array([int(table[0x80 >> k]) for k in range(8)], dtype=np.uint64)
+        for p in range(self.max_len - 1, -1, -1):
+            g[p] = basis
+            basis = np.array(
+                [_zero_byte_step(int(v), table) for v in basis], dtype=np.uint64
+            )
+        # expand to per-bit-position rows of 32 output bits (LSB-first cols)
+        gbits = (
+            (g.reshape(self.max_len * 8, 1) >> np.arange(32, dtype=np.uint64)) & 1
+        ).astype(np.int8)  # [8*max_len, 32]
+        self._gbits = jnp.asarray(gbits.astype(np.float32))
+        # init contribution LUT: A^L(init) for L = 0..max_len
+        lut = np.zeros(self.max_len + 1, dtype=np.uint32)
+        v = ref.initial_value
+        for L in range(self.max_len + 1):
+            lut[L] = v
+            v = _zero_byte_step(v, table)
+        self._init_lut = jnp.asarray(lut)
+        self._final_xor = np.uint32(ref.final_xor)
+
+    @partial(jax.jit, static_argnums=0)
+    def compute(self, data: jax.Array, lengths: jax.Array) -> jax.Array:
+        """CRC-32 of each row. data: uint8 [B, max_len] left-aligned;
+        lengths: int32 [B]. Returns uint32 [B]."""
+        max_len = self.max_len
+        # right-align each row (front-pad with zeros)
+        rolled = jax.vmap(lambda row, n: jnp.roll(row, max_len - n))(
+            data, lengths.astype(jnp.int32)
+        )
+        # mask out anything beyond length (defensive: garbage in padding)
+        idx = jnp.arange(max_len, dtype=jnp.int32)
+        valid = idx[None, :] >= (max_len - lengths[:, None])
+        rolled = jnp.where(valid, rolled, 0)
+        # unpack MSB-first bits -> [B, 8*max_len]
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = ((rolled[..., None] >> shifts) & 1).reshape(rolled.shape[0], -1)
+        acc = jnp.dot(
+            bits.astype(jnp.float32), self._gbits, preferred_element_type=jnp.float32
+        )
+        parity = (acc.astype(jnp.int32) & 1).astype(jnp.uint32)  # [B, 32]
+        crc_raw = jnp.sum(parity << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+        return crc_raw ^ self._init_lut[lengths] ^ self._final_xor
+
+
+@lru_cache(maxsize=8)
+def make_crc32_engine(max_len: int) -> CrcEngine:
+    return CrcEngine(max_len)
+
+
+def crc_bytes_be(crc: jax.Array) -> jax.Array:
+    """Split uint32 CRCs [B] into 4 big-endian bytes [B, 4] (the order
+    CrcAppend uses with swap_endianness=false, crc_append.hpp:175-183)."""
+    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    return ((crc[:, None] >> shifts) & 0xFF).astype(jnp.uint8)
