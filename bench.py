@@ -1,0 +1,100 @@
+"""Benchmark: full RX chain throughput on real TPU hardware.
+
+Mirrors the reference's headline benchmark (benchmarks/benchmark_packet_receiver
+with 4 syncword frequency bins, results.md:43-51: 6-8 Msps on a Ryzen 7 5800X),
+but harder: instead of an idle stream, the receiver is fed continuous
+back-to-back 1500-byte packet bursts, so every block exercises acquisition,
+header decode, Costas tracking and payload decode. The metric is complex
+samples/sec/chip aggregated over a channel bank processed by one chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BASELINE_RX_SPS = 7.0e6  # reference full RX, 4 freq bins (results.md:43-51)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gr4_packet_modem_tpu.models.receiver import Receiver, RxConfig
+    from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
+    from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
+
+    channels = int(os.environ.get("BENCH_CHANNELS", "8"))
+    block = int(os.environ.get("BENCH_BLOCK", str(1 << 18)))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    payload_len = 1500
+
+    # --- build one block of continuous 1500B bursts per channel
+    tx = Transmitter(TxConfig(max_payload_len=1536))
+    rng = np.random.default_rng(0)
+    burst_syms = None
+    payloads = [rng.integers(0, 256, payload_len, dtype=np.uint8) for _ in range(12)]
+    batch = PacketBatch.from_list(payloads, max_len=1536)
+    s, l = tx.modulate_bursts(batch)
+    stream, total = ragged_concat(s, l, int(np.sum(np.asarray(l))))
+    stream = np.asarray(stream)
+    reps = block // stream.size + 1
+    signal = np.tile(stream, reps)[:block]
+    num_pkts_per_block = int(block // stream.size * len(payloads))
+
+    rx = Receiver(
+        RxConfig(max_payload_len=1536, max_detections=32, freq_bins=4)
+    )
+    fp, pt = rx.front_pad, rx.pad_tail()
+    x = np.zeros((channels, fp + block + pt), np.complex64)
+    for c in range(channels):
+        x[c, fp : fp + block] = signal * np.exp(1j * 0.1 * c)
+    xj = jnp.asarray(x)
+
+    def rx_step(samples_2d):
+        def per_channel(xc):
+            det = rx.acquirer.acquire(xc)
+            hdr, _ = rx.decode_headers(xc, det)
+            keep = rx.filter_detections(det, hdr)
+            res = rx.decode_payloads(xc, det, hdr, keep)
+            return res.accepted.sum(), res.crc_ok.sum()
+
+        return jax.vmap(per_channel)(samples_2d)
+
+    step = jax.jit(rx_step)
+    # warmup / compile
+    t0 = time.time()
+    acc, crc = jax.block_until_ready(step(xj))
+    compile_s = time.time() - t0
+    acc = np.asarray(acc)
+    decoded_frac = float(acc.sum()) / (num_pkts_per_block * channels)
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(xj)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    sps = channels * block * iters / dt
+
+    result = {
+        "metric": "rx_chain_samples_per_sec_per_chip",
+        "value": float(f"{sps:.4g}"),
+        "unit": "samples/s",
+        "vs_baseline": float(f"{sps / BASELINE_RX_SPS:.4g}"),
+        "channels": channels,
+        "block": block,
+        "decoded_packet_frac": round(decoded_frac, 4),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

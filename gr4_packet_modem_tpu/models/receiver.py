@@ -309,7 +309,7 @@ class Receiver:
 
         _, keep = jax.lax.scan(
             step,
-            jnp.int32(-1),
+            det.index[0] * 0 - 1,  # -1, derived from inputs for vma typing
             (det.index, det.valid, extent),
         )
         return keep

@@ -149,7 +149,11 @@ class HeaderLdpcDecoder:
             return c2v_new, None
 
         b = llrs.shape[0]
-        c2v0 = jnp.zeros((b, vidx.shape[0], vidx.shape[1]), dtype=llrs.dtype)
+        # derive the zeros from llrs so the carry inherits sharding/vma type
+        # (required under shard_map's varying-axis checking)
+        c2v0 = jnp.zeros((b, vidx.shape[0], vidx.shape[1]), dtype=llrs.dtype) + (
+            0.0 * llrs[:, :1, None]
+        )
         c2v, _ = jax.lax.scan(body, c2v0, None, length=self.num_iterations)
         contrib = jnp.where(vmask[None], c2v, 0.0)
         var_sum = jnp.zeros_like(llrs).at[:, vidx.reshape(-1)].add(

@@ -1,0 +1,122 @@
+"""Runtime layer tests: streaming drivers, flow control, host IO."""
+
+import ctypes
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr4_packet_modem_tpu.io.file import read_c64, stream_c64_blocks, write_c64
+from gr4_packet_modem_tpu.io.tun import native_lib
+from gr4_packet_modem_tpu.models.channel import awgn, rotate
+from gr4_packet_modem_tpu.models.receiver import RxConfig
+from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
+from gr4_packet_modem_tpu.runtime.flow import PacketCredit, ProbeRate, Throttle
+from gr4_packet_modem_tpu.runtime.streaming import (
+    StreamingReceiver,
+    StreamingTransmitter,
+)
+
+
+class TestStreaming:
+    def test_block_boundaries_and_indices(self):
+        tx = StreamingTransmitter(Transmitter(TxConfig(max_payload_len=256)))
+        payloads = [
+            (np.arange(n) % 256).astype(np.uint8)
+            for n in [10, 100, 200, 37, 256, 131]
+        ]
+        sig = tx.send_burst(payloads)
+        x = np.asarray(
+            awgn(jax.random.PRNGKey(0), rotate(jnp.asarray(sig), 0.006), 0.05)
+        )
+        rx = StreamingReceiver(
+            RxConfig(max_payload_len=256, max_detections=8), block=4096
+        )
+        got = []
+        for i in range(0, x.size, 3000):  # odd chunks exercise the carry
+            got.extend(rx.process(x[i : i + 3000]))
+        got.extend(rx.process(np.zeros(2 * rx.block, np.complex64)))
+        assert len(got) == len(payloads)
+        for g, p in zip(got, payloads):
+            np.testing.assert_array_equal(g.data, p)
+        assert got[0].index == 0  # absolute stream indexing
+        assert all(b.index > a.index for a, b in zip(got, got[1:]))
+
+    def test_stream_mode_carry(self):
+        tx = StreamingTransmitter(
+            Transmitter(TxConfig(max_payload_len=128, stream_mode=True))
+        )
+        payloads = [(np.arange(n) % 256).astype(np.uint8) for n in [50, 80, 20]]
+        sig1 = tx.send_stream(payloads[:2])
+        sig2 = tx.send_stream(payloads[2:])
+        flush = tx.send_stream([np.zeros(16, np.uint8)])  # flush via extra pkt
+        x = np.concatenate([sig1, sig2, flush])
+        rx = StreamingReceiver(
+            RxConfig(max_payload_len=128, max_detections=8), block=4096
+        )
+        got = rx.process(x)
+        got += rx.process(np.zeros(2 * rx.block, np.complex64))
+        datas = [g.data for g in got]
+        # the final flush packet's own RRC tail is truncated (same as the
+        # reference's cut-off last packet in stream mode), so expect >= 3
+        assert len(datas) >= 3
+        for g, p in zip(datas[:3], payloads):
+            np.testing.assert_array_equal(g, p)
+
+
+class TestFlow:
+    def test_throttle(self):
+        th = Throttle(100000.0)
+        t0 = time.monotonic()
+        for _ in range(5):
+            th.wait(2000)
+        dt = time.monotonic() - t0
+        assert dt >= 0.08
+
+    def test_probe_rate(self):
+        pr = ProbeRate()
+        pr.update(100)
+        time.sleep(0.25)
+        rep = pr.update(100)
+        assert rep is not None
+        assert 100 < rep.rate_now < 10000
+        assert pr.total == 200
+
+    def test_packet_credit(self):
+        credit = PacketCredit(2)
+        assert credit.acquire(0.01)
+        assert credit.acquire(0.01)
+        assert not credit.acquire(0.05)  # full
+        credit.release()
+        assert credit.acquire(0.01)
+        assert credit.in_flight == 2
+
+
+class TestHostIo:
+    def test_file_roundtrip(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "x.c64")
+            data = (np.arange(100) + 1j * np.arange(100)).astype(np.complex64)
+            write_c64(path, data)
+            np.testing.assert_array_equal(read_c64(path), data)
+            blocks = list(stream_c64_blocks(path, 33))
+            np.testing.assert_array_equal(np.concatenate(blocks), data)
+
+    def test_native_ring(self):
+        lib = native_lib()
+        assert lib is not None, "native library should build in this image"
+        ring = lib.pm_ring_create(256)
+        msg = b"x" * 100
+        assert lib.pm_ring_write(ring, msg, len(msg)) == 100
+        buf = ctypes.create_string_buffer(256)
+        assert lib.pm_ring_read(ring, buf, 256) == 100
+        # wrap-around
+        big = bytes(range(200))
+        n = lib.pm_ring_write(ring, big, len(big))
+        assert n == 200
+        m = lib.pm_ring_read(ring, buf, 256)
+        assert buf.raw[:m] == big
+        lib.pm_ring_destroy(ring)
