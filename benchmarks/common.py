@@ -1,0 +1,56 @@
+"""Shared benchmark harness utilities."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def time_fn(fn, *args, iters: int = 10, warmup: int = 1):
+    """Time a jitted function; returns (seconds_per_call, compile_seconds)."""
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters, compile_s
+
+
+def report(metric: str, value: float, unit: str, baseline: float | None = None,
+           **extra):
+    rec = {"metric": metric, "value": float(f"{value:.4g}"), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = float(f"{value / baseline:.4g}")
+    rec.update(extra)
+    print(json.dumps(rec))
+    return rec
+
+
+def tiled_burst_signal(payload_len=1500, num_packets=12, total=1 << 18,
+                       max_payload_len=1536, seed=0):
+    """Continuous back-to-back burst stream tiled to ``total`` samples."""
+    from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
+    from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
+
+    tx = Transmitter(TxConfig(max_payload_len=max_payload_len))
+    rng = np.random.default_rng(seed)
+    payloads = [
+        rng.integers(0, 256, payload_len, dtype=np.uint8)
+        for _ in range(num_packets)
+    ]
+    batch = PacketBatch.from_list(payloads, max_len=max_payload_len)
+    s, l = tx.modulate_bursts(batch)
+    stream, _ = ragged_concat(s, l, int(np.sum(np.asarray(l))))
+    stream = np.asarray(stream)
+    reps = total // stream.size + 1
+    sig = np.tile(stream, reps)[:total]
+    pkts_per_block = total // stream.size * num_packets
+    return sig, pkts_per_block

@@ -134,11 +134,13 @@ class SyncwordAcquirer:
         """Correlation powers via overlap-save FFT. x: [T] complex with
         T >= fft_size; returns complex correlations [nbins, T'] where
         T' = num_frames * stride."""
+        from ..utils.cplx import cgather
+
         n, s = self.config.fft_size, self.stride
         t = x.shape[0]
         nf = (t - n) // s + 1
         idx = jnp.arange(nf)[:, None] * s + jnp.arange(n)[None, :]
-        frames = x[idx]  # [F, N]
+        frames = cgather(x, idx)  # [F, N]
         f = jnp.fft.fft(frames, axis=-1)  # [F, N]
         prod = f[:, None, :] * self._replica_fft_conj[None]  # [F, nb, N]
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
@@ -219,7 +221,9 @@ class SyncwordAcquirer:
         )
         delta_freq = jnp.where(interior, quad * bin_spacing, 0.0)
         freq = (bi - cfg.freq_bins).astype(jnp.float32) * bin_spacing + delta_freq
-        phase = jnp.angle(corr[bi, ti])
+        from ..utils.cplx import cgather
+
+        phase = jnp.angle(cgather(corr, bi, ti))
         phase = phase - delta_freq * 0.5 * np.float32(self.sync_len)
         phase = jnp.where(phase >= np.pi, phase - 2 * np.pi, phase)
         phase = jnp.where(phase < -np.pi, phase + 2 * np.pi, phase)

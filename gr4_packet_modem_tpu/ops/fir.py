@@ -171,8 +171,10 @@ def pfb_arb_resample(
     fa = frac_t * a
     arm = jnp.clip(jnp.floor(fa).astype(jnp.int32), 0, a - 1)
     frac = fa - arm.astype(jnp.float32)
+    from ..utils.cplx import cgather
+
     w = _window_stack(x, arm_len)  # [N, K] windows of input
-    win = w[ip]  # [num_out, K]
+    win = cgather(w, ip)  # [num_out, K]
     t_arm = tp[arm]  # [num_out, K]
     d_arm = dtp[arm]
     if jnp.iscomplexobj(x):

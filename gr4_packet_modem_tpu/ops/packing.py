@@ -72,8 +72,13 @@ def bits_to_bytes(bits: jax.Array) -> jax.Array:
 
 
 def map_symbols(indices: jax.Array, constellation: jax.Array) -> jax.Array:
-    """Constellation LUT mapping (mapper.hpp): index -> complex point."""
-    return jnp.take(constellation, indices.astype(jnp.int32), axis=0)
+    """Constellation LUT mapping (mapper.hpp): index -> complex point.
+
+    Gathers the I/Q planes separately (complex gathers are unimplemented on
+    the TPU backend)."""
+    from ..utils.cplx import ctake
+
+    return ctake(constellation, indices.astype(jnp.int32), axis=0)
 
 
 def binary_slice(llrs: jax.Array, invert: bool = True) -> jax.Array:

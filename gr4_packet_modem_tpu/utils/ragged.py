@@ -94,7 +94,9 @@ def ragged_concat(
         data.shape[0] - 1,
     )
     off = pos - starts[row]
-    vals = data[row, jnp.clip(off, 0, data.shape[1] - 1)]
+    from .cplx import cgather
+
+    vals = cgather(data, row, jnp.clip(off, 0, data.shape[1] - 1))
     fill_arr = jnp.asarray(fill, dtype=data.dtype)
     out = jnp.where(pos < total, vals, fill_arr)
     return out, total
