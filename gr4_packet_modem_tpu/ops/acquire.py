@@ -127,6 +127,19 @@ class SyncwordAcquirer:
         kernel[:, 0, nbins:] = -ri.T
         kernel[:, 1, nbins:] = rr.T
         self._conv_kernel = jnp.asarray(kernel)
+        # out-of-band noise estimation filter: the reference measures noise
+        # power in the central (out-of-band) half of the FFT spectrum
+        # (syncword_detection.hpp:254-265, which for flat noise equals the
+        # full-band complex noise power). Equivalent measure here: a 33-tap
+        # high-pass selecting |f| in [0.3, 0.5] where the RRC signal (cutoff
+        # ~0.17) has no energy; for white noise E|y|^2 = P * sum(h^2).
+        from scipy import signal as _sig
+
+        hp = _sig.remez(
+            33, [0.0, 0.22, 0.3, 0.5], [0.0, 1.0], fs=1.0
+        ).astype(np.float32)
+        self._noise_filter = jnp.asarray(hp)
+        self._noise_gain = float(np.sum(hp**2))
 
     # ------------------------------------------------------------ correlation
 
@@ -242,14 +255,17 @@ class SyncwordAcquirer:
         time_est = jnp.clip(
             (pc - pa) / jnp.where(denom_t == 0, 1.0, denom_t), -0.5, 0.5
         )
-        # noise power proxy: mean sample power in the CFAR window minus the
-        # replica contribution (log-only quantity; the reference derives it
-        # from FFT centre bins, syncword_detection.hpp:254-265)
-        mean_pow = _sliding_mean_at(x, ti, w)
-        sync_power = amplitude**2 * np.float32(self.self_corr)
-        noise_power = jnp.maximum(
-            mean_pow - sync_power * np.float32(self.sync_len / (2 * w + 1)), 1e-12
+        # noise power: mean power of the out-of-band (high-pass) component in
+        # the CFAR window, scaled to full-band complex noise power — the same
+        # quantity the reference reads off the central FFT bins
+        h = self._noise_filter
+        hp = jax.lax.complex(
+            jnp.convolve(x.real, h, mode="same"),
+            jnp.convolve(x.imag, h, mode="same"),
         )
+        noise_power = _sliding_mean_at(hp, ti, w) / np.float32(self._noise_gain)
+        noise_power = jnp.maximum(noise_power, 1e-12)
+        sync_power = amplitude**2 * np.float32(self.self_corr)
         esn0 = 10.0 * jnp.log10(
             jnp.maximum(
                 sync_power

