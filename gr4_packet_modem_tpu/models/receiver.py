@@ -60,7 +60,7 @@ class RxConfig:
     max_detections: int = 64
     freq_bins: int = 4
     power_threshold: float = C.SYNC_POWER_THRESHOLD
-    acquisition_backend: str = "conv"
+    acquisition_backend: str = "fft"
     num_pfb_arms: int = 32
     ldpc_iterations: int = 25
     symbol_chunk: int = 2048          # symbol-extraction chunk size

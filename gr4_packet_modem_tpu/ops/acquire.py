@@ -64,7 +64,7 @@ class AcquisitionConfig:
     time_threshold: int = C.SYNC_TIME_THRESHOLD
     power_threshold: float = C.SYNC_POWER_THRESHOLD
     max_detections: int = 64  # static bound per processed block
-    backend: str = "conv"  # "conv" (MXU) or "fft" (overlap-save, as reference)
+    backend: str = "fft"  # "fft" (overlap-save, as reference) or "conv" (MXU)
 
 
 @jax.tree_util.register_pytree_node_class
