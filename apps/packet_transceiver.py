@@ -128,7 +128,9 @@ def main():
         x = awgn(sub, x, sigma)
         throttle.wait(x.shape[0])
         # ---- RX
-        for pkt in rx.process(np.asarray(x)):
+        from gr4_packet_modem_tpu.utils.cplx import to_host
+
+        for pkt in rx.process(to_host(x)):
             received += 1
             credit.release()
             if tun_out is not None:

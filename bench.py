@@ -36,14 +36,15 @@ def main():
     payload_len = 1500
 
     # --- build one block of continuous 1500B bursts per channel
+    from gr4_packet_modem_tpu.utils.cplx import to_host
+
     tx = Transmitter(TxConfig(max_payload_len=1536))
     rng = np.random.default_rng(0)
-    burst_syms = None
     payloads = [rng.integers(0, 256, payload_len, dtype=np.uint8) for _ in range(12)]
     batch = PacketBatch.from_list(payloads, max_len=1536)
     s, l = tx.modulate_bursts(batch)
     stream, total = ragged_concat(s, l, int(np.sum(np.asarray(l))))
-    stream = np.asarray(stream)
+    stream = to_host(stream)
     reps = block // stream.size + 1
     signal = np.tile(stream, reps)[:block]
     num_pkts_per_block = int(block // stream.size * len(payloads))
@@ -55,7 +56,9 @@ def main():
     x = np.zeros((channels, fp + block + pt), np.complex64)
     for c in range(channels):
         x[c, fp : fp + block] = signal * np.exp(1j * 0.1 * c)
-    xj = jnp.asarray(x)
+    from gr4_packet_modem_tpu.utils.cplx import to_device
+
+    xj = to_device(x)
 
     def rx_step(samples_2d):
         def per_channel(xc):

@@ -33,10 +33,12 @@ def main():
     )
     sig, pkts = tiled_burst_signal(total=block)
     fp, pt = rx.front_pad, rx.pad_tail()
+    from gr4_packet_modem_tpu.utils.cplx import to_device
+
     x = np.zeros((channels, fp + block + pt), np.complex64)
     for c in range(channels):
         x[c, fp : fp + block] = sig
-    xj = jnp.asarray(x)
+    xj = to_device(x)
 
     def rx_step(samples):
         def per_channel(xc):

@@ -30,8 +30,10 @@ def main():
     acq = SyncwordAcquirer(
         AcquisitionConfig(freq_bins=bins, backend=backend, max_detections=32)
     )
+    from gr4_packet_modem_tpu.utils.cplx import to_device
+
     sig, _ = tiled_burst_signal(total=block)
-    x = jnp.asarray(sig)
+    x = to_device(sig)
     step = jax.jit(acq.acquire)
     dt, compile_s = time_fn(step, x, iters=20)
     report(

@@ -47,9 +47,11 @@ def tiled_burst_signal(payload_len=1500, num_packets=12, total=1 << 18,
         for _ in range(num_packets)
     ]
     batch = PacketBatch.from_list(payloads, max_len=max_payload_len)
+    from gr4_packet_modem_tpu.utils.cplx import to_host
+
     s, l = tx.modulate_bursts(batch)
     stream, _ = ragged_concat(s, l, int(np.sum(np.asarray(l))))
-    stream = np.asarray(stream)
+    stream = to_host(stream)
     reps = total // stream.size + 1
     sig = np.tile(stream, reps)[:total]
     pkts_per_block = total // stream.size * num_packets

@@ -24,7 +24,7 @@ stream, _ = ragged_concat(samples, lens, int(np.sum(np.asarray(lens))))
 x = awgn(jax.random.PRNGKey(0), rotate(stream, 0.006), 0.05)
 
 rx = Receiver(RxConfig(max_payload_len=64, max_detections=8))
-res = rx.receive(np.asarray(x))
+res = rx.receive(x)
 for i in np.nonzero(np.asarray(res.accepted))[0]:
     n = int(np.asarray(res.lengths)[i])
     print("decoded:", bytes(np.asarray(res.data)[i, :n]))

@@ -35,7 +35,7 @@ print("Es/N0[dB]  PER")
 for esn0 in np.arange(5.0, 21.0, 1.5):
     sigma = esn0_db_to_noise_sigma(esn0, sig_power)
     x = awgn(jax.random.PRNGKey(int(esn0 * 10)), rotate(stream, 0.005), sigma)
-    res = rx.receive(np.asarray(x))
+    res = rx.receive(x)
     acc = np.asarray(res.accepted)
     data = np.asarray(res.data)
     lens = np.asarray(res.lengths)

@@ -372,10 +372,14 @@ class Receiver:
         the (sorted) detection set; ``accepted`` marks decoded user packets.
         """
         fp = self.front_pad
+        from ..utils.cplx import to_device
+
         x = jnp.concatenate(
             [
                 jnp.zeros(fp, jnp.complex64),
-                jnp.asarray(samples, jnp.complex64),
+                to_device(np.asarray(samples, np.complex64))
+                if isinstance(samples, np.ndarray)
+                else jnp.asarray(samples, jnp.complex64),
                 jnp.zeros(self.pad_tail(), jnp.complex64),
             ]
         )

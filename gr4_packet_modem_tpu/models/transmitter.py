@@ -94,10 +94,11 @@ class Transmitter:
         self._ramp_bits = jnp.asarray(
             glfsr_bits(nbits).reshape(config.max_packets_glfsr, C.RAMP_DOWN_BITS)
         )
-        self._sync_syms = jnp.asarray(
-            np.asarray(C.BPSK_CONSTELLATION)[np.asarray(C.SYNCWORD)]
-        )
-        self._qpsk = jnp.asarray(C.QPSK_CONSTELLATION)
+        # complex constants stay numpy: embedded as literals at trace time
+        # (a jnp complex constant would need a complex device transfer, which
+        # the TPU backend does not support)
+        self._sync_syms = np.asarray(C.BPSK_CONSTELLATION)[np.asarray(C.SYNCWORD)]
+        self._qpsk = np.asarray(C.QPSK_CONSTELLATION)
 
     # ---------------------------------------------------------------- symbols
 

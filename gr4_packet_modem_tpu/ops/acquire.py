@@ -116,7 +116,10 @@ class SyncwordAcquirer:
         self.stride = n - self.sync_len + 1
         pad = np.zeros((nbins, n), np.complex64)
         pad[:, : self.sync_len] = self.replicas
-        self._replica_fft_conj = jnp.asarray(np.conj(np.fft.fft(pad, axis=-1)))
+        # kept as numpy: complex device transfers are unsupported on TPU
+        self._replica_fft_conj = np.conj(np.fft.fft(pad, axis=-1)).astype(
+            np.complex64
+        )
         # conv backend kernel: real/imag planes.
         # corr_b[t] = sum_k conj(rep_b[k]) x[t+k]
         #  re = xr*rr + xi*ri ; im = xi*rr - xr*ri

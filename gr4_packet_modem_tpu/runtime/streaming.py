@@ -22,6 +22,7 @@ import numpy as np
 from ..models.receiver import Receiver, RxConfig
 from ..models.transmitter import Transmitter
 from ..utils import constants as C
+from ..utils.cplx import to_device, to_host
 from ..utils.ragged import PacketBatch, ragged_concat
 
 __all__ = ["StreamingReceiver", "StreamingTransmitter", "DecodedPacket"]
@@ -96,7 +97,7 @@ class StreamingReceiver:
                 self._pending[: self.block],
                 self._pending[self.block :],
             )
-            out.extend(self._process_block(jnp.asarray(chunk)))
+            out.extend(self._process_block(to_device(chunk)))
         return out
 
     def flush(self) -> list[DecodedPacket]:
@@ -161,7 +162,7 @@ class StreamingTransmitter:
         stream, total = ragged_concat(
             samples, lens, int(np.sum(np.asarray(lens)))
         )
-        return np.asarray(stream)[: int(total)]
+        return to_host(stream)[: int(total)]
 
     def send_stream(self, payloads, types=None) -> np.ndarray:
         """Modulate payloads in stream mode (continuous FIR state)."""
@@ -173,4 +174,4 @@ class StreamingTransmitter:
             batch, out_syms, self._fir_carry
         )
         self._fir_carry = carry
-        return np.asarray(samples)[: int(total)]
+        return to_host(samples)[: int(total)]

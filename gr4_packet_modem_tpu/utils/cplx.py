@@ -1,17 +1,22 @@
-"""Complex-array helpers for TPU-safe indexing.
+"""Complex-array helpers for TPU-safe indexing and transfer.
 
-The TPU backend does not implement gather on complex64 operands (dynamic
-slices are fine, gathers are not), so every data-dependent complex indexing
-site routes through these helpers, which gather the real and imaginary planes
-separately and recombine.
+The TPU backend neither implements gather on complex64 operands (dynamic
+slices are fine, gathers are not) nor complex64 host<->device transfers
+(which can wedge the device tunnel outright). Every data-dependent complex
+indexing site routes through ``ctake``/``cgather`` (gather I/Q planes
+separately), and every host<->device movement of complex data routes through
+``to_host``/``to_device`` (transfer the planes, recombine on the other side).
+Complex constants captured by jitted functions must be **numpy** arrays (a
+jnp complex constant triggers a device-to-host copy at lowering time).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["ctake", "cgather"]
+__all__ = ["ctake", "cgather", "to_host", "to_device"]
 
 
 def ctake(a: jax.Array, indices, axis: int = 0) -> jax.Array:
@@ -29,3 +34,24 @@ def cgather(a: jax.Array, *idx) -> jax.Array:
     if jnp.iscomplexobj(a):
         return jax.lax.complex(a.real[idx], a.imag[idx])
     return a[idx]
+
+
+def to_host(x) -> np.ndarray:
+    """Device -> numpy, transferring complex data as separate I/Q planes."""
+    if jnp.iscomplexobj(x):
+        re = np.asarray(x.real)
+        im = np.asarray(x.imag)
+        return (re + 1j * im).astype(np.complex64 if re.dtype == np.float32
+                                     else np.complex128)
+    return np.asarray(x)
+
+
+def to_device(x: np.ndarray) -> jax.Array:
+    """numpy -> device, transferring complex data as separate I/Q planes."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return jax.lax.complex(
+            jnp.asarray(np.ascontiguousarray(x.real)),
+            jnp.asarray(np.ascontiguousarray(x.imag)),
+        )
+    return jnp.asarray(x)
