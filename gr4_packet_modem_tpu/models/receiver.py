@@ -156,9 +156,18 @@ class Receiver:
         return C.SYNC_TIME_THRESHOLD + self.filter_delay + 20
 
     def pad_tail(self) -> int:
+        """Lookahead needed past a syncword start: full packet extraction,
+        plus the acquisition coverage margin — the overlap-save frames cover
+        only ``nf * stride`` samples (up to stride-1 short of the buffer end)
+        and the CFAR needs ``time_threshold`` of forward window for a
+        detection to be eligible."""
         cfg = self.config
         sps = cfg.samples_per_symbol
-        return sps * (_HEADER_REGION_SYMS + cfg.max_payload_syms) + self.arm_len + 8
+        extraction = (
+            sps * (_HEADER_REGION_SYMS + cfg.max_payload_syms) + self.arm_len + 8
+        )
+        acq_margin = C.SYNC_TIME_THRESHOLD + C.SYNC_FFT_SIZE
+        return extraction + acq_margin
 
     # ---------------------------------------------------------- symbol timing
 
