@@ -50,8 +50,11 @@ def tiled_burst_signal(payload_len=1500, num_packets=12, total=1 << 18,
     from gr4_packet_modem_tpu.utils.cplx import to_host
 
     s, l = tx.modulate_bursts(batch)
-    stream, _ = ragged_concat(s, l, int(np.sum(np.asarray(l))))
-    stream = to_host(stream)
+    stream_len = int(np.sum(np.asarray(l)))
+    concat = jax.jit(
+        lambda ss, ll: ragged_concat(ss, ll, stream_len)[0]
+    )
+    stream = to_host(concat(s, l))
     reps = total // stream.size + 1
     sig = np.tile(stream, reps)[:total]
     pkts_per_block = total // stream.size * num_packets

@@ -176,9 +176,10 @@ class Transmitter:
             total_syms, data_syms, C.SYNCWORD_LEN, axis=1
         )
         # mask data symbols beyond each packet's length, then place ramp
+        # (mask by multiply: complex select is flaky on the TPU backend)
         pos = jnp.arange(self.max_burst_syms, dtype=jnp.int32)[None, :]
         data_end = C.SYNCWORD_LEN + data_sym_lens[:, None]
-        total_syms = jnp.where(pos < data_end, total_syms, 0)
+        total_syms = total_syms * (pos < data_end).astype(jnp.float32)
         total_syms = jax.vmap(
             lambda row, n, r: jax.lax.dynamic_update_slice(row, r, (n,))
         )(total_syms, C.SYNCWORD_LEN + data_sym_lens, ramp_syms)
@@ -204,7 +205,7 @@ class Transmitter:
         samples = jax.vmap(shape_tail)(samples, sample_lens)
         # zero out anything past the burst end (padding hygiene)
         spos = jnp.arange(samples.shape[1], dtype=jnp.int32)[None, :]
-        samples = jnp.where(spos < sample_lens[:, None], samples, 0)
+        samples = samples * (spos < sample_lens[:, None]).astype(jnp.float32)
         return samples, sample_lens
 
     # ------------------------------------------------------------ stream mode
@@ -227,7 +228,7 @@ class Transmitter:
         )
         pos = jnp.arange(self.max_stream_syms, dtype=jnp.int32)[None, :]
         lens = C.SYNCWORD_LEN + data_sym_lens
-        per_pkt = jnp.where(pos < lens[:, None], per_pkt, 0)
+        per_pkt = per_pkt * (pos < lens[:, None]).astype(jnp.float32)
         return ragged_concat(per_pkt, lens, out_syms)
 
     def modulate_stream(

@@ -159,9 +159,10 @@ class StreamingTransmitter:
             batch, packet_index0=self._packet_index
         )
         self._packet_index += len(payloads)
-        stream, total = ragged_concat(
-            samples, lens, int(np.sum(np.asarray(lens)))
-        )
+        n = int(np.sum(np.asarray(lens)))
+        stream, total = jax.jit(
+            lambda ss, ll: ragged_concat(ss, ll, n)
+        )(samples, lens)
         return to_host(stream)[: int(total)]
 
     def send_stream(self, payloads, types=None) -> np.ndarray:

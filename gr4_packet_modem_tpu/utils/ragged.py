@@ -97,8 +97,16 @@ def ragged_concat(
     from .cplx import cgather
 
     vals = cgather(data, row, jnp.clip(off, 0, data.shape[1] - 1))
-    fill_arr = jnp.asarray(fill, dtype=data.dtype)
-    out = jnp.where(pos < total, vals, fill_arr)
+    in_range = pos < total
+    if jnp.iscomplexobj(data):
+        # mask by multiply: complex select is flaky on the TPU backend
+        out = vals * in_range.astype(jnp.float32)
+        if fill != 0:
+            out = out + jnp.asarray(fill, data.dtype) * (
+                1.0 - in_range.astype(jnp.float32)
+            )
+    else:
+        out = jnp.where(in_range, vals, jnp.asarray(fill, dtype=data.dtype))
     return out, total
 
 
