@@ -172,7 +172,8 @@ BLOCK_REGISTRY: dict[str, BlockEntry] = {
         "utils.constants.Constellation"),
     "Endianness": _E("endianness.hpp", "subsumed",
         "msb_first parameter of ops.packing"),
-    "Tun": _E("tun.hpp", "io", "native/tunio.cpp pm_tun_open"),
+    "Tun": _E("tun.hpp", "io", "io.tun.native_lib",
+        "native/tunio.cpp pm_tun_open via ctypes"),
     "xoroshiro128p": _E("xoroshiro128p.h", "subsumed",
         "jax.random threefry (seeded noise has no bit-parity requirement)"),
 }
