@@ -140,12 +140,7 @@ class Receiver:
         self._llr_scale = np.float32(2.0 / C.LLR_NOISE_SIGMA**2)
         self._decoder = ldpc.HeaderLdpcDecoder(config.ldpc_iterations)
         self._crc = make_crc32_engine(config.max_payload_len)
-        hdr_sched = costas_segments(_HEADER_REGION_SYMS)
-        self._hdr_sched = tuple(jnp.asarray(v) for v in hdr_sched)
-        pay_sched = costas_segments(_HEADER_REGION_SYMS + config.max_payload_syms)
-        self._pay_sched = tuple(
-            jnp.asarray(v[_HEADER_REGION_SYMS:]) for v in pay_sched
-        )
+
 
     # -------------------------------------------------------------- front pad
 
@@ -259,7 +254,7 @@ class Receiver:
             [self._sync_bipolar, jnp.ones(C.HEADER_SYMBOLS, jnp.float32)]
         )
         syms = syms * wipe[None]
-        const_ids, k1, k2 = self._hdr_sched
+        const_ids, k1, k2 = costas_segments(_HEADER_REGION_SYMS)
         corrected, ph_end, fr_end = costas_run(
             syms, phase0, jnp.zeros_like(phase0), const_ids, k1, k2
         )
@@ -335,7 +330,7 @@ class Receiver:
             x, hdr.n_base, hdr.arm, det.freq, det.index, hdr.amp_scale,
             _HEADER_REGION_SYMS, s_pay,
         )
-        const_ids, k1, k2 = self._pay_sched
+        const_ids, k1, k2 = costas_segments(s_pay, offset=_HEADER_REGION_SYMS)
         corrected, _, _ = costas_run(syms, hdr.phase, hdr.freq, const_ids, k1, k2)
         llrs = jnp.stack(
             [corrected.real, corrected.imag], axis=-1

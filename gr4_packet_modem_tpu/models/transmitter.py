@@ -89,11 +89,15 @@ class Transmitter:
         )
         self.max_stream_syms = C.SYNCWORD_LEN + self.max_data_syms
         self._crc = crc_ops.make_crc32_engine(lmax)
-        # ramp-down GLFSR bit reservoir, reshaped per packet
+        # ramp-down GLFSR bit reservoir, packed one u32 word per packet
+        # (18 bits each) so the jit-embedded literal stays small
         nbits = C.RAMP_DOWN_BITS * config.max_packets_glfsr
-        self._ramp_bits = jnp.asarray(
-            glfsr_bits(nbits).reshape(config.max_packets_glfsr, C.RAMP_DOWN_BITS)
-        )
+        rb = glfsr_bits(nbits).reshape(
+            config.max_packets_glfsr, C.RAMP_DOWN_BITS
+        ).astype(np.uint32)
+        self._ramp_bits_packed = (
+            rb << np.arange(C.RAMP_DOWN_BITS, dtype=np.uint32)[None, :]
+        ).sum(axis=1, dtype=np.uint32)
         # complex constants stay numpy: embedded as literals at trace time
         # (a jnp complex constant would need a complex device transfer, which
         # the TPU backend does not support)
@@ -167,7 +171,13 @@ class Transmitter:
         b = data_syms.shape[0]
         # ramp-down symbols per packet
         pidx = packet_index0 + jnp.arange(b, dtype=jnp.int32)
-        ramp_bits = self._ramp_bits[pidx % self.config.max_packets_glfsr]
+        packed = jnp.asarray(self._ramp_bits_packed)[
+            pidx % self.config.max_packets_glfsr
+        ]
+        ramp_bits = (
+            (packed[:, None] >> jnp.arange(C.RAMP_DOWN_BITS, dtype=jnp.uint32))
+            & 1
+        ).astype(jnp.uint8)
         ramp_syms = map_symbols(pack_bits(ramp_bits, 2), self._qpsk)  # [B, 9]
         # assemble: sync(64) || data || ramp(9) || flush(11 zeros)
         total_syms = jnp.zeros((b, self.max_burst_syms), jnp.complex64)

@@ -114,12 +114,10 @@ class SyncwordAcquirer:
         if self.sync_len > n:
             raise ValueError("fft_size too small for the syncword replica")
         self.stride = n - self.sync_len + 1
-        pad = np.zeros((nbins, n), np.complex64)
-        pad[:, : self.sync_len] = self.replicas
-        # kept as numpy: complex device transfers are unsupported on TPU
-        self._replica_fft_conj = np.conj(np.fft.fft(pad, axis=-1)).astype(
-            np.complex64
-        )
+        # the replica FFTs are computed on-device inside the jit (from the
+        # small [nb, sync_len] replica literal) — embedding the [nb, N]
+        # complex FFT table as a literal bloats the HLO and the remote TPU
+        # compiler is pathologically slow on megabyte literals
         # conv backend kernel: real/imag planes.
         # corr_b[t] = sum_k conj(rep_b[k]) x[t+k]
         #  re = xr*rr + xi*ri ; im = xi*rr - xr*ri
@@ -158,7 +156,14 @@ class SyncwordAcquirer:
         idx = jnp.arange(nf)[:, None] * s + jnp.arange(n)[None, :]
         frames = cgather(x, idx)  # [F, N]
         f = jnp.fft.fft(frames, axis=-1)  # [F, N]
-        prod = f[:, None, :] * self._replica_fft_conj[None]  # [F, nb, N]
+        rep = jax.lax.complex(
+            jnp.zeros((self.num_bins, n), jnp.float32)
+            .at[:, : self.sync_len].set(self.replicas.real),
+            jnp.zeros((self.num_bins, n), jnp.float32)
+            .at[:, : self.sync_len].set(self.replicas.imag),
+        )
+        replica_fft_conj = jnp.conj(jnp.fft.fft(rep, axis=-1))
+        prod = f[:, None, :] * replica_fft_conj[None]  # [F, nb, N]
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
 

@@ -51,26 +51,33 @@ def costas_coefficients(loop_bandwidth: float, qpsk: bool) -> tuple[float, float
     return float(k1 / gain), float(k2 / gain)
 
 
-def costas_segments(num_symbols: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def costas_segments(
+    num_symbols: int, offset: int = 0
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-symbol (constellation id, k1, k2) schedule for a packet starting at
     its syncword: 64 PILOT @ bw 0.02, 128 QPSK @ bw 0.01, payload QPSK
-    @ bw 0.005."""
-    const = np.full(num_symbols, int(C.Constellation.QPSK), np.int32)
-    const[: C.SYNCWORD_LEN] = int(C.Constellation.PILOT)
-    k1 = np.zeros(num_symbols, np.float32)
-    k2 = np.zeros(num_symbols, np.float32)
-    seg = [
-        (0, C.SYNCWORD_LEN, C.SYNCWORD_COSTAS_BW, False),
-        (C.SYNCWORD_LEN, C.SYNCWORD_LEN + C.HEADER_SYMBOLS, C.HEADER_COSTAS_BW, True),
-        (C.SYNCWORD_LEN + C.HEADER_SYMBOLS, num_symbols, C.PAYLOAD_COSTAS_BW, True),
-    ]
-    for lo, hi, bw, qpsk in seg:
-        if lo >= num_symbols:
-            break
-        a, b = costas_coefficients(bw, qpsk)
-        k1[lo:hi] = a
-        k2[lo:hi] = b
-    return const, k1, k2
+    @ bw 0.005. ``offset`` shifts the symbol index (e.g. 192 for the payload
+    pass). Built from scalars with iota selects so jitted callers embed only
+    a few constants instead of [S]-sized literals."""
+    s = jnp.arange(num_symbols, dtype=jnp.int32) + offset
+    hdr_end = C.SYNCWORD_LEN + C.HEADER_SYMBOLS
+    const = jnp.where(
+        s < C.SYNCWORD_LEN,
+        jnp.int32(C.Constellation.PILOT),
+        jnp.int32(C.Constellation.QPSK),
+    )
+    k1a, k2a = costas_coefficients(C.SYNCWORD_COSTAS_BW, False)
+    k1b, k2b = costas_coefficients(C.HEADER_COSTAS_BW, True)
+    k1c, k2c = costas_coefficients(C.PAYLOAD_COSTAS_BW, True)
+
+    def piecewise(a, b, c):
+        return jnp.where(
+            s < C.SYNCWORD_LEN,
+            jnp.float32(a),
+            jnp.where(s < hdr_end, jnp.float32(b), jnp.float32(c)),
+        )
+
+    return const, piecewise(k1a, k1b, k1c), piecewise(k2a, k2b, k2c)
 
 
 def _phase_error(z: jax.Array, const_id: jax.Array) -> jax.Array:

@@ -139,18 +139,18 @@ class CrcEngine:
             basis = np.array(
                 [_zero_byte_step(int(v), table) for v in basis], dtype=np.uint64
             )
-        # expand to per-bit-position rows of 32 output bits (LSB-first cols)
-        gbits = (
-            (g.reshape(self.max_len * 8, 1) >> np.arange(32, dtype=np.uint64)) & 1
-        ).astype(np.int8)  # [8*max_len, 32]
-        self._gbits = jnp.asarray(gbits.astype(np.float32))
+        # keep G packed as uint32 rows (one word per message bit position);
+        # the f32 expansion happens on-device inside the jit. This keeps the
+        # embedded literal at 4 bytes/row instead of 128 — giant f32 literals
+        # make the remote TPU compiler pathologically slow.
+        self._g_packed = g.reshape(self.max_len * 8).astype(np.uint32)
         # init contribution LUT: A^L(init) for L = 0..max_len
         lut = np.zeros(self.max_len + 1, dtype=np.uint32)
         v = ref.initial_value
         for L in range(self.max_len + 1):
             lut[L] = v
             v = _zero_byte_step(v, table)
-        self._init_lut = jnp.asarray(lut)
+        self._init_lut = lut
         self._final_xor = np.uint32(ref.final_xor)
 
     @partial(jax.jit, static_argnums=0)
@@ -169,12 +169,16 @@ class CrcEngine:
         # unpack MSB-first bits -> [B, 8*max_len]
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         bits = ((rolled[..., None] >> shifts) & 1).reshape(rolled.shape[0], -1)
+        gbits = (
+            (jnp.asarray(self._g_packed)[:, None]
+             >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+        ).astype(jnp.float32)  # [8*max_len, 32], expanded on device
         acc = jnp.dot(
-            bits.astype(jnp.float32), self._gbits, preferred_element_type=jnp.float32
+            bits.astype(jnp.float32), gbits, preferred_element_type=jnp.float32
         )
         parity = (acc.astype(jnp.int32) & 1).astype(jnp.uint32)  # [B, 32]
         crc_raw = jnp.sum(parity << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
-        return crc_raw ^ self._init_lut[lengths] ^ self._final_xor
+        return crc_raw ^ jnp.asarray(self._init_lut)[lengths] ^ self._final_xor
 
 
 @lru_cache(maxsize=8)

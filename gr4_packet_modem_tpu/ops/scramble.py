@@ -25,9 +25,27 @@ def _keystream_np(num_bits: int) -> np.ndarray:
     return additive_scrambler_keystream(num_bits)
 
 
+@lru_cache(maxsize=8)
+def _keystream_packed(num_bits: int) -> np.ndarray:
+    """Keystream packed 32 bits/word (bit i of word w = keystream bit
+    32w + i). Packed form keeps jit-embedded literals small."""
+    n32 = -(-num_bits // 32) * 32
+    bits = _keystream_np(n32)
+    words = bits.reshape(-1, 32).astype(np.uint32)
+    return (words << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
+
+
 def keystream(num_bits: int) -> jnp.ndarray:
-    """First ``num_bits`` scrambler keystream bits (cached)."""
-    return jnp.asarray(_keystream_np(int(num_bits)))
+    """First ``num_bits`` scrambler keystream bits, expanded on device from
+    the packed literal."""
+    packed = _keystream_packed(int(num_bits))
+    bits = (
+        (jnp.asarray(packed)[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
+        & 1
+    ).reshape(-1)[:num_bits]
+    return bits.astype(jnp.uint8)
 
 
 def scramble_bits(bits: jnp.ndarray) -> jnp.ndarray:
