@@ -205,35 +205,40 @@ class Receiver:
         sps = cfg.samples_per_symbol
         kk = self.arm_len
         arm_taps = self._arm_taps[arm]  # [D, K]
-        chunk = cfg.symbol_chunk
-        outs = []
-        for s0 in range(0, num_syms, chunk):
-            s1 = min(s0 + chunk, num_syms)
-            cs = s1 - s0
-            region_len = sps * (cs - 1) + kk
+        chunk = min(cfg.symbol_chunk, num_syms)
+        nchunks = -(-num_syms // chunk)
+        region_len = sps * (chunk - 1) + kk
+        # window index pattern w[s, k] <- region[(kk-1) + sps*s - k]
+        widx = (
+            (kk - 1)
+            + sps * jnp.arange(chunk, dtype=jnp.int32)[:, None]
+            - jnp.arange(kk, dtype=jnp.int32)[None, :]
+        )
 
-            def one(xb, nb, fq, nz, sc, taps):
-                start = nb + sps * (sym_offset + s0) - (kk - 1)
+        def one_chunk(c):
+            def per_det(nb, fq, nz, sc, taps):
+                start = nb + sps * (sym_offset + c * chunk) - (kk - 1)
                 region = jax.lax.dynamic_slice(x, (start,), (region_len,))
                 n_abs = start + jnp.arange(region_len)
                 ph = -fq * (n_abs - nz).astype(jnp.float32)
                 region = region * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-                cols = [
-                    jax.lax.slice_in_dim(
-                        region, kk - 1 - j, kk - 1 - j + sps * (cs - 1) + 1
-                    )[::sps]
-                    for j in range(kk)
-                ]
-                w = jnp.stack(cols, axis=-1)  # [cs, K]
-                sym = (w.real @ taps) + 1j * (w.imag @ taps)
+                w_re = region.real[widx]  # [chunk, K]
+                w_im = region.imag[widx]
+                sym = (w_re @ taps) + 1j * (w_im @ taps)
                 return sc * sym
 
-            outs.append(
-                jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))(
-                    x, n_base, freq, n0, amp_scale, arm_taps
-                )
+            return jax.vmap(per_det)(n_base, freq, n0, amp_scale, arm_taps)
+
+        if nchunks == 1:
+            out = one_chunk(0)  # [D, chunk]
+        else:
+            # one traced chunk body (keeps the HLO small — the remote TPU
+            # compiler's time scales with program size)
+            chunks = jax.lax.map(one_chunk, jnp.arange(nchunks))
+            out = jnp.moveaxis(chunks, 0, 1).reshape(
+                n_base.shape[0], nchunks * chunk
             )
-        return jnp.concatenate(outs, axis=-1)  # [D, num_syms]
+        return out[:, :num_syms]  # [D, num_syms]
 
     # ------------------------------------------------------------ header pass
 
