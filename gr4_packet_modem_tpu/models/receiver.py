@@ -130,13 +130,13 @@ class Receiver:
         # per-arm taps [A, K]: arm j, tap k -> pfb[j + A*k]
         a = config.num_pfb_arms
         k = pfb.size // a
-        self._arm_taps = jnp.asarray(
-            pfb.reshape(k, a).T.astype(np.float32)
-        )  # [A, K]
+        # numpy constant: embedded at trace time (device-array constants
+        # require a d2h copy at lowering, which is broken on this backend)
+        self._arm_taps = pfb.reshape(k, a).T.astype(np.float32).copy()  # [A, K]
         self.arm_len = k
-        self._sync_bipolar = jnp.asarray(
-            np.where(np.asarray(C.SYNCWORD) != 0, -1.0, 1.0).astype(np.float32)
-        )
+        self._sync_bipolar = np.where(
+            np.asarray(C.SYNCWORD) != 0, -1.0, 1.0
+        ).astype(np.float32)
         self._llr_scale = np.float32(2.0 / C.LLR_NOISE_SIGMA**2)
         self._decoder = ldpc.HeaderLdpcDecoder(config.ldpc_iterations)
         self._crc = make_crc32_engine(config.max_payload_len)

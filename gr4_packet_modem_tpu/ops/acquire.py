@@ -127,7 +127,7 @@ class SyncwordAcquirer:
         kernel[:, 1, :nbins] = ri.T
         kernel[:, 0, nbins:] = -ri.T
         kernel[:, 1, nbins:] = rr.T
-        self._conv_kernel = jnp.asarray(kernel)
+        self._conv_kernel = kernel  # numpy: embedded at trace time
         # out-of-band noise estimation filter: the reference measures noise
         # power in the central (out-of-band) half of the FFT spectrum
         # (syncword_detection.hpp:254-265, which for flat noise equals the
@@ -139,7 +139,7 @@ class SyncwordAcquirer:
         hp = _sig.remez(
             33, [0.0, 0.22, 0.3, 0.5], [0.0, 1.0], fs=1.0
         ).astype(np.float32)
-        self._noise_filter = jnp.asarray(hp)
+        self._noise_filter = hp  # numpy: embedded at trace time
         self._noise_gain = float(np.sum(hp**2))
 
     # ------------------------------------------------------------ correlation
@@ -172,7 +172,7 @@ class SyncwordAcquirer:
         xr = jnp.stack([x.real, x.imag], axis=-1)[None]  # [1, T, 2]
         out = jax.lax.conv_general_dilated(
             xr,
-            self._conv_kernel,
+            jnp.asarray(self._conv_kernel),
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
@@ -266,7 +266,7 @@ class SyncwordAcquirer:
         # noise power: mean power of the out-of-band (high-pass) component in
         # the CFAR window, scaled to full-band complex noise power — the same
         # quantity the reference reads off the central FFT bins
-        h = self._noise_filter
+        h = jnp.asarray(self._noise_filter)
         hp = jax.lax.complex(
             jnp.convolve(x.real, h, mode="same"),
             jnp.convolve(x.imag, h, mode="same"),

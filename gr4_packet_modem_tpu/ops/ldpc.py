@@ -103,9 +103,10 @@ class HeaderLdpcDecoder:
             vs = np.nonzero(h[c])[0]
             vidx[c, : vs.size] = vs
             vmask[c, : vs.size] = True
-        self._vidx = jnp.asarray(vidx)
-        self._vmask = jnp.asarray(vmask)
-        self._h = jnp.asarray(h.astype(np.float32))
+        # numpy constants: embedded at trace time (no device residency)
+        self._vidx = vidx
+        self._vmask = vmask
+        self._h = h.astype(np.float32)
 
     @partial(jax.jit, static_argnums=0)
     def decode(self, llrs: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -116,7 +117,7 @@ class HeaderLdpcDecoder:
         Returns ``(info_bits [B, 32] uint8, ok [B] bool)`` where ``ok`` is the
         parity-check success flag (failure -> invalid_header upstream).
         """
-        vidx, vmask = self._vidx, self._vmask
+        vidx, vmask = jnp.asarray(self._vidx), jnp.asarray(self._vmask)
         alpha = jnp.float32(self.normalization)
 
         def check_update(v2c):
@@ -162,7 +163,9 @@ class HeaderLdpcDecoder:
         total = llrs + var_sum
         hard = (total < 0).astype(jnp.uint8)  # positive LLR -> bit 0
         syndrome = jnp.dot(
-            hard.astype(jnp.float32), self._h.T, preferred_element_type=jnp.float32
+            hard.astype(jnp.float32),
+            jnp.asarray(self._h).T,
+            preferred_element_type=jnp.float32,
         )
         ok = jnp.all((syndrome.astype(jnp.int32) & 1) == 0, axis=-1)
         return hard[:, : C.HEADER_LDPC_K], ok
