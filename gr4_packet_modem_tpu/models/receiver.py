@@ -204,7 +204,7 @@ class Receiver:
         cfg = self.config
         sps = cfg.samples_per_symbol
         kk = self.arm_len
-        arm_taps = self._arm_taps[arm]  # [D, K]
+        arm_taps = jnp.asarray(self._arm_taps)[arm]  # [D, K]
         chunk = min(cfg.symbol_chunk, num_syms)
         nchunks = -(-num_syms // chunk)
         region_len = sps * (chunk - 1) + kk
