@@ -33,7 +33,7 @@ class TestCostas:
                 assert 0 < k2 < k1 < 1
 
     def test_segments_schedule(self):
-        const, k1, k2 = costas_segments(400)
+        const, k1, k2 = (np.asarray(v) for v in costas_segments(400))
         assert (const[:64] == int(C.Constellation.PILOT)).all()
         assert (const[64:] == int(C.Constellation.QPSK)).all()
         # three distinct gain segments
