@@ -64,6 +64,11 @@ class RxConfig:
     num_pfb_arms: int = 32
     ldpc_iterations: int = 25
     symbol_chunk: int = 2048          # symbol-extraction chunk size
+    # payload carrier tracking: "costas" = loop-exact per-symbol scan
+    # (reference behavior); "vv" = feed-forward block Viterbi&Viterbi
+    # estimator (scan-free, within-SNR equivalent, faster on TPU)
+    payload_carrier: str = "costas"
+    vv_block: int = 64                # V&V averaging block (symbols)
 
     @property
     def max_payload_syms(self) -> int:
@@ -323,6 +328,56 @@ class Receiver:
         )
         return keep
 
+    # -------------------------------------------- feed-forward carrier track
+
+    def _vv_track(
+        self, syms: jax.Array, phase0: jax.Array, freq0: jax.Array
+    ) -> jax.Array:
+        """Scan-free payload carrier tracking: propagate the header-end loop
+        state linearly, then refine with a block Viterbi&Viterbi 4th-power
+        estimator (phase mod pi/2 per block, ambiguity resolved by continuity
+        with the propagated state; cumulative-sum unwrap across blocks).
+
+        Within-SNR equivalent to the Costas loop at payload bandwidth: the
+        loop's 0.005 B_L*T corresponds to ~a 60-symbol averaging window.
+        """
+        blk = self.config.vv_block
+        d, s = syms.shape
+        nb = s // blk
+        idx = jnp.arange(s, dtype=jnp.float32)
+        base_phase = phase0[:, None] + freq0[:, None] * idx[None, :]
+        z = syms * jax.lax.complex(jnp.cos(base_phase), -jnp.sin(base_phase))
+        # block 4th-power phase residuals (mod pi/2)
+        z4 = (z[:, : nb * blk].reshape(d, nb, blk)) ** 4
+        m4 = z4.mean(axis=-1)
+        ph4 = jnp.angle(m4)  # 4 * residual phase, wrapped to [-pi, pi]
+        # incremental unwrap: residual increments are << pi/4 per block
+        d4 = jnp.diff(ph4, axis=-1)
+        d4 = jnp.where(d4 > np.pi, d4 - 2 * np.float32(np.pi), d4)
+        d4 = jnp.where(d4 < -np.pi, d4 + 2 * np.float32(np.pi), d4)
+        # QPSK points sit at 45 degrees, so z^4 carries a pi offset:
+        # angle(z^4) = pi + 4*residual. Resolve the first block's pi/2
+        # ambiguity by wrapping to [-pi/4, pi/4) (residual is small after the
+        # header's Costas lock).
+        resid0 = (ph4[:, :1] - np.float32(np.pi)) / 4.0
+        resid0 = (resid0 + np.float32(np.pi / 4)) % np.float32(np.pi / 2) - (
+            np.float32(np.pi / 4)
+        )
+        resid = jnp.concatenate(
+            [resid0, resid0 + jnp.cumsum(d4 / 4.0, axis=-1)], axis=-1
+        )  # [D, nb] per-block residual phase
+        # linear interpolation between block centres, clamped at the ends
+        pos = (idx - (blk - 1) / 2.0) / blk
+        b0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 1)
+        b1 = jnp.clip(b0 + 1, 0, nb - 1)
+        frac = jnp.clip(pos - b0.astype(jnp.float32), 0.0, 1.0)
+        resid_per_sym = (
+            resid[:, b0] * (1.0 - frac)[None, :] + resid[:, b1] * frac[None, :]
+        )
+        return z * jax.lax.complex(
+            jnp.cos(resid_per_sym), -jnp.sin(resid_per_sym)
+        )
+
     # ----------------------------------------------------------- payload pass
 
     @partial(jax.jit, static_argnums=0)
@@ -335,8 +390,15 @@ class Receiver:
             x, hdr.n_base, hdr.arm, det.freq, det.index, hdr.amp_scale,
             _HEADER_REGION_SYMS, s_pay,
         )
-        const_ids, k1, k2 = costas_segments(s_pay, offset=_HEADER_REGION_SYMS)
-        corrected, _, _ = costas_run(syms, hdr.phase, hdr.freq, const_ids, k1, k2)
+        if cfg.payload_carrier == "vv":
+            corrected = self._vv_track(syms, hdr.phase, hdr.freq)
+        else:
+            const_ids, k1, k2 = costas_segments(
+                s_pay, offset=_HEADER_REGION_SYMS
+            )
+            corrected, _, _ = costas_run(
+                syms, hdr.phase, hdr.freq, const_ids, k1, k2
+            )
         llrs = jnp.stack(
             [corrected.real, corrected.imag], axis=-1
         ).reshape(corrected.shape[0], -1) * self._llr_scale  # [D, 2*s_pay]

@@ -106,3 +106,24 @@ def test_idle_packets_filtered():
     # the idle packet passed CRC but was filtered
     crc_ok = np.asarray(res.crc_ok)
     assert crc_ok.sum() == 3
+
+
+@pytest.mark.parametrize("cfo", [0.0, 0.006, -0.02])
+def test_loopback_burst_vv_carrier(cfo):
+    """Feed-forward (V&V) payload carrier tracking decodes the same packets
+    (within-SNR equivalence of the scan-free estimator)."""
+    from gr4_packet_modem_tpu.models.receiver import Receiver, RxConfig
+
+    stream = _tx_burst(PAYLOADS, 1536)
+    x = awgn(jax.random.PRNGKey(6), rotate(stream, cfo), NOISE_AMPLITUDE)
+    rx = Receiver(
+        RxConfig(max_payload_len=1536, max_detections=32, payload_carrier="vv")
+    )
+    res = rx.receive(np.asarray(x))
+    acc = np.asarray(res.accepted)
+    lens = np.asarray(res.lengths)
+    data = np.asarray(res.data)
+    got = [data[i, : lens[i]] for i in range(len(acc)) if acc[i]]
+    assert len(got) == len(PAYLOADS)
+    for g, e in zip(got, PAYLOADS):
+        np.testing.assert_array_equal(g, e)
