@@ -299,19 +299,36 @@ class SyncwordAcquirer:
         )
 
 
+def _trailing_max(x: jax.Array, w: int) -> jax.Array:
+    """m[t] = max(x[t-w+1 .. t]) via the doubling trick: O(log w) shifted
+    maxes instead of a wide reduce_window (which the TPU backend compiles
+    very slowly for windows this large)."""
+
+    def shift_right(a, s):
+        return jnp.concatenate([jnp.full((s,), -jnp.inf, a.dtype), a[:-s]])
+
+    m = x
+    span = 1
+    while span < w:
+        s = min(span, w - span)
+        m = jnp.maximum(m, shift_right(m, s))
+        span += s
+    return m
+
+
 def _sliding_max(x: jax.Array, left: int, right: int) -> jax.Array:
     """max over window [t-left, t+right] (right may be -1 for strictly-past)."""
     n = x.shape[0]
     if right < 0:
         # max over [t-left, t-1]
-        xp = jnp.pad(x, (left, 0), constant_values=-jnp.inf)
-        out = jax.lax.reduce_window(
-            xp, -jnp.inf, jax.lax.max, (left,), (1,), "VALID"
-        )
-        return out[:n]
-    win = left + right + 1
-    xp = jnp.pad(x, (left, right), constant_values=-jnp.inf)
-    return jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max, (win,), (1,), "VALID")
+        tm = _trailing_max(x, left)
+        return jnp.concatenate([jnp.full((1,), -jnp.inf, x.dtype), tm[: n - 1]])
+    # centered: trailing max of width left+right+1 evaluated at t+right
+    tm = _trailing_max(
+        jnp.concatenate([x, jnp.full((right,), -jnp.inf, x.dtype)]),
+        left + right + 1,
+    )
+    return tm[right : right + n]
 
 
 def _sliding_mean_at(x: jax.Array, idx: jax.Array, w: int) -> jax.Array:
