@@ -222,8 +222,10 @@ class Receiver:
 
         def one_chunk(c):
             def per_det(nb, fq, nz, sc, taps):
+                from ..utils.cplx import cdynslice
+
                 start = nb + sps * (sym_offset + c * chunk) - (kk - 1)
-                region = jax.lax.dynamic_slice(x, (start,), (region_len,))
+                region = cdynslice(x, start, region_len)
                 n_abs = start + jnp.arange(region_len)
                 ph = -fq * (n_abs - nz).astype(jnp.float32)
                 region = region * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))

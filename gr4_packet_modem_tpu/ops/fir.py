@@ -107,9 +107,11 @@ def pfb_symbol_filter(
     arm_len = pfb_taps.shape[0] // num_arms
     arm_taps = pfb_taps[arm + num_arms * jnp.arange(arm_len)]  # [K]
     k = arm_len
+    from ..utils.cplx import cdynslice
+
     base = start - (k - 1)
     region_len = sps * (num_symbols - 1) + k
-    xa = jax.lax.dynamic_slice_in_dim(samples, base, region_len)
+    xa = cdynslice(samples, base, region_len)
     # window w[s, j] = xa[(k-1) + sps*s - j]
     cols = [
         jax.lax.slice_in_dim(xa, k - 1 - j, k - 1 - j + sps * (num_symbols - 1) + 1)[

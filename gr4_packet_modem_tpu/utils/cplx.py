@@ -36,6 +36,18 @@ def cgather(a: jax.Array, *idx) -> jax.Array:
     return a[idx]
 
 
+def cdynslice(a: jax.Array, start, size: int) -> jax.Array:
+    """1-D ``lax.dynamic_slice`` safe for complex arrays on TPU (vmapped
+    complex dynamic slices lower to complex gathers, which are
+    unimplemented)."""
+    if jnp.iscomplexobj(a):
+        return jax.lax.complex(
+            jax.lax.dynamic_slice(a.real, (start,), (size,)),
+            jax.lax.dynamic_slice(a.imag, (start,), (size,)),
+        )
+    return jax.lax.dynamic_slice(a, (start,), (size,))
+
+
 def to_host(x) -> np.ndarray:
     """Device -> numpy, transferring complex data as separate I/Q planes."""
     if jnp.iscomplexobj(x):
