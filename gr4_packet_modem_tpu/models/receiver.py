@@ -212,29 +212,33 @@ class Receiver:
         arm_taps = jnp.asarray(self._arm_taps)[arm]  # [D, K]
         chunk = min(cfg.symbol_chunk, num_syms)
         nchunks = -(-num_syms // chunk)
-        region_len = sps * (chunk - 1) + kk
-        # window index pattern w[s, k] <- region[(kk-1) + sps*s - k]
-        widx = (
-            (kk - 1)
-            + sps * jnp.arange(chunk, dtype=jnp.int32)[:, None]
-            - jnp.arange(kk, dtype=jnp.int32)[None, :]
-        )
+        xr, xi = x.real, x.imag
+        d = n_base.shape[0]
 
         def one_chunk(c):
-            def per_det(nb, fq, nz, sc, taps):
-                from ..utils.cplx import cdynslice
-
-                start = nb + sps * (sym_offset + c * chunk) - (kk - 1)
-                region = cdynslice(x, start, region_len)
-                n_abs = start + jnp.arange(region_len)
-                ph = -fq * (n_abs - nz).astype(jnp.float32)
-                region = region * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-                w_re = region.real[widx]  # [chunk, K]
-                w_im = region.imag[widx]
-                sym = (w_re @ taps) + 1j * (w_im @ taps)
-                return sc * sym
-
-            return jax.vmap(per_det)(n_base, freq, n0, amp_scale, arm_taps)
+            # shared-operand gather with a 3-D index array — the only
+            # data-dependent indexing pattern the TPU backend handles well
+            # (vmapped dynamic slices lower to unimplemented complex/batched
+            # gathers)
+            s_idx = sym_offset + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            idx = (
+                n_base[:, None, None]
+                + sps * s_idx[None, :, None]
+                - jnp.arange(kk, dtype=jnp.int32)[None, None, :]
+            )  # [D, chunk, K]
+            idx_c = jnp.clip(idx, 0, x.shape[0] - 1)
+            wr = xr[idx_c]
+            wi = xi[idx_c]
+            ph = -freq[:, None, None] * (idx - n0[:, None, None]).astype(
+                jnp.float32
+            )
+            cos, sin = jnp.cos(ph), jnp.sin(ph)
+            dr = wr * cos - wi * sin
+            di = wr * sin + wi * cos
+            sym = jnp.einsum("dsk,dk->ds", dr, arm_taps) + 1j * jnp.einsum(
+                "dsk,dk->ds", di, arm_taps
+            )
+            return amp_scale[:, None] * sym
 
         if nchunks == 1:
             out = one_chunk(0)  # [D, chunk]
@@ -242,9 +246,7 @@ class Receiver:
             # one traced chunk body (keeps the HLO small — the remote TPU
             # compiler's time scales with program size)
             chunks = jax.lax.map(one_chunk, jnp.arange(nchunks))
-            out = jnp.moveaxis(chunks, 0, 1).reshape(
-                n_base.shape[0], nchunks * chunk
-            )
+            out = jnp.moveaxis(chunks, 0, 1).reshape(d, nchunks * chunk)
         return out[:, :num_syms]  # [D, num_syms]
 
     # ------------------------------------------------------------ header pass
