@@ -7,6 +7,15 @@ from gr4_packet_modem_tpu.ops.scramble import keystream
 from gr4_packet_modem_tpu.ops.packing import pack_bits
 from gr4_packet_modem_tpu.utils import constants as C
 
+# tunnel health gate: abort early if the session is poisoned
+import jax as _jax
+try:
+    _jax.block_until_ready(_jax.jit(lambda: _jax.numpy.arange(4)*2)())
+    print("health: ok", flush=True)
+except Exception as e:
+    print("health: POISONED", str(e)[:60], flush=True)
+    sys.exit(3)
+
 rx = Receiver(RxConfig(max_payload_len=1536, max_detections=32, freq_bins=4))
 T = 1 << 17
 x = jnp.zeros(T + rx.front_pad + rx.pad_tail(), jnp.complex64)
@@ -31,8 +40,8 @@ def timed(name, f, *a):
         print(f"{name}: FAIL {str(e)[:120]}", flush=True)
         return None
 
-extract = jax.jit(lambda: rx._extract_symbols(x, n_base, arm, freq, n0, amp, 0, _HEADER_REGION_SYMS))
-syms = timed("extract192", extract)
+extract = jax.jit(lambda xx: rx._extract_symbols(xx, n_base, arm, freq, n0, amp, 0, _HEADER_REGION_SYMS))
+syms = timed("extract192", extract, x)
 if syms is None: sys.exit()
 sch = costas_segments(_HEADER_REGION_SYMS)
 cost = jax.jit(lambda s: costas_run(s, jnp.zeros(D), jnp.zeros(D), *sch))

@@ -109,26 +109,41 @@ def costas_run(
     const_ids/k1/k2: ``[S]`` per-symbol schedule (shared across the batch).
     Returns ``(corrected [B, S], phase_end [B], freq_end [B])``.
     """
-    sym_t = jnp.moveaxis(symbols, -1, 0)  # [S, B]
+    # the scan carries/threads only real arrays (complex values inside scan
+    # bodies crash the TPU backend compiler); z = x * e^{-i phase} is done on
+    # I/Q planes explicitly
+    sym_re = jnp.moveaxis(symbols.real, -1, 0)  # [S, B]
+    sym_im = jnp.moveaxis(symbols.imag, -1, 0)
 
     def step(carry, xs):
         phase, freq = carry
-        x, cid, g1, g2 = xs
-        lo = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        z = x * lo
-        e = _phase_error(z, cid)
+        xr, xi, cid, g1, g2 = xs
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        zr = xr * c + xi * s
+        zi = xi * c - xr * s
+        e_pilot = zi
+        e_bpsk = zr * zi
+        e_qpsk = jnp.where(zr > 0, zi, -zi) + jnp.where(zi > 0, -zr, zr)
+        e = jnp.where(
+            cid == int(C.Constellation.PILOT),
+            e_pilot,
+            jnp.where(cid == int(C.Constellation.BPSK), e_bpsk, e_qpsk),
+        )
         freq = freq + g2 * e
         phase = phase + g1 * e + freq
         phase = jnp.where(phase >= np.pi, phase - 2 * np.float32(np.pi), phase)
         phase = jnp.where(phase < -np.pi, phase + 2 * np.float32(np.pi), phase)
-        return (phase, freq), z
+        return (phase, freq), (zr, zi)
 
-    (phase_end, freq_end), out = jax.lax.scan(
+    (phase_end, freq_end), (out_re, out_im) = jax.lax.scan(
         step,
         (phase0.astype(jnp.float32), freq0.astype(jnp.float32)),
-        (sym_t, const_ids, k1, k2),
+        (sym_re, sym_im, const_ids, k1, k2),
     )
-    return jnp.moveaxis(out, 0, -1), phase_end, freq_end
+    out = jax.lax.complex(
+        jnp.moveaxis(out_re, 0, -1), jnp.moveaxis(out_im, 0, -1)
+    )
+    return out, phase_end, freq_end
 
 
 def vv_phase_estimate(
