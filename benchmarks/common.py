@@ -57,5 +57,7 @@ def tiled_burst_signal(payload_len=1500, num_packets=12, total=1 << 18,
     stream = to_host(concat(s, l))
     reps = total // stream.size + 1
     sig = np.tile(stream, reps)[:total]
-    pkts_per_block = total // stream.size * num_packets
+    # complete bursts inside the block
+    bounds = np.cumsum(np.tile(np.asarray(l), reps))
+    pkts_per_block = int(np.sum(bounds <= total))
     return sig, pkts_per_block

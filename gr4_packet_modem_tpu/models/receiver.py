@@ -209,35 +209,53 @@ class Receiver:
         cfg = self.config
         sps = cfg.samples_per_symbol
         kk = self.arm_len
-        arm_taps = jnp.asarray(self._arm_taps)[arm]  # [D, K]
+        # arm selection as a one-hot matmul (row gathers compile slowly on
+        # this backend; a [D,A]x[A,K] matmul is instant and MXU-friendly)
+        onehot = jax.nn.one_hot(arm, cfg.num_pfb_arms, dtype=jnp.float32)
+        arm_taps = onehot @ jnp.asarray(self._arm_taps)  # [D, K]
         chunk = min(cfg.symbol_chunk, num_syms)
         nchunks = -(-num_syms // chunk)
         xr, xi = x.real, x.imag
         d = n_base.shape[0]
+        region_len = sps * (chunk - 1) + kk
 
         def one_chunk(c):
-            # shared-operand gather with a 3-D index array — the only
-            # data-dependent indexing pattern the TPU backend handles well
-            # (vmapped dynamic slices lower to unimplemented complex/batched
-            # gathers)
-            s_idx = sym_offset + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            idx = (
-                n_base[:, None, None]
-                + sps * s_idx[None, :, None]
-                - jnp.arange(kk, dtype=jnp.int32)[None, None, :]
-            )  # [D, chunk, K]
-            idx_c = jnp.clip(idx, 0, x.shape[0] - 1)
-            wr = xr[idx_c]
-            wi = xi[idx_c]
-            ph = -freq[:, None, None] * (idx - n0[:, None, None]).astype(
+            # per-detection contiguous regions via lax.map of dynamic slices
+            # (the only data-dependent indexing the TPU backend both supports
+            # and compiles quickly — large multi-row gathers take minutes to
+            # compile and vmapped/complex slices hit unimplemented paths)
+            start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
+
+            def slice_region(st):
+                return (
+                    jax.lax.dynamic_slice(xr, (st,), (region_len,)),
+                    jax.lax.dynamic_slice(xi, (st,), (region_len,)),
+                )
+
+            rr, ri = jax.lax.map(slice_region, start)  # [D, region_len] x2
+            # derotate the region by exp(-i freq (n - n0))
+            j = jnp.arange(region_len, dtype=jnp.int32)[None, :]
+            ph = -freq[:, None] * (start[:, None] + j - n0[:, None]).astype(
                 jnp.float32
             )
-            cos, sin = jnp.cos(ph), jnp.sin(ph)
-            dr = wr * cos - wi * sin
-            di = wr * sin + wi * cos
-            sym = jnp.einsum("dsk,dk->ds", dr, arm_taps) + 1j * jnp.einsum(
-                "dsk,dk->ds", di, arm_taps
-            )
+            cph, sph = jnp.cos(ph), jnp.sin(ph)
+            dr = rr * cph - ri * sph
+            di = rr * sph + ri * cph
+            # windows w[d, s, k] = region[d, (kk-1) + sps*s - k] via static
+            # strided slices (one per tap)
+            def windows(reg):
+                cols = [
+                    jax.lax.slice_in_dim(
+                        reg, kk - 1 - k2, kk - 1 - k2 + sps * (chunk - 1) + 1,
+                        stride=sps, axis=1,
+                    )
+                    for k2 in range(kk)
+                ]
+                return jnp.stack(cols, axis=-1)  # [D, chunk, K]
+
+            sym = jnp.einsum(
+                "dsk,dk->ds", windows(dr), arm_taps
+            ) + 1j * jnp.einsum("dsk,dk->ds", windows(di), arm_taps)
             return amp_scale[:, None] * sym
 
         if nchunks == 1:
@@ -416,10 +434,22 @@ class Receiver:
         pos = jnp.arange(cfg.max_payload_len, dtype=jnp.int32)[None, :]
         payload = jnp.where(pos < plen[:, None], payload, 0)
         crc = self._crc.compute(payload, jnp.clip(plen, 0, cfg.max_payload_len))
-        # received CRC: 4 bytes at positions plen..plen+4
-        crc_rx_bytes = jax.vmap(
-            lambda row, n: jax.lax.dynamic_slice(row, (n,), (C.CRC_NUM_BYTES,))
-        )(all_bytes, jnp.clip(plen, 0, all_bytes.shape[1] - C.CRC_NUM_BYTES))
+        # received CRC: 4 bytes at positions plen..plen+4, selected by an
+        # iota comparison + sum (batched dynamic slices lower to batched
+        # gathers, unimplemented on this backend)
+        plen_c = jnp.clip(plen, 0, all_bytes.shape[1] - C.CRC_NUM_BYTES)
+        jpos = jnp.arange(all_bytes.shape[1], dtype=jnp.int32)
+        crc_rx_bytes = jnp.stack(
+            [
+                jnp.sum(
+                    all_bytes.astype(jnp.int32)
+                    * (jpos[None, :] == (plen_c + i)[:, None]),
+                    axis=1,
+                )
+                for i in range(C.CRC_NUM_BYTES)
+            ],
+            axis=-1,
+        ).astype(jnp.uint8)
         crc_rx = (
             (crc_rx_bytes[:, 0].astype(jnp.uint32) << 24)
             | (crc_rx_bytes[:, 1].astype(jnp.uint32) << 16)

@@ -119,6 +119,17 @@ class HeaderLdpcDecoder:
         """
         vidx, vmask = jnp.asarray(self._vidx), jnp.asarray(self._vmask)
         alpha = jnp.float32(self.normalization)
+        m, dmax = self._vidx.shape
+        e = m * dmax
+        # edge<->variable selection matrix S[e, v] = (vidx[e] == v), built
+        # from an iota comparison (no literal) — gathers/scatters with
+        # batched operands are unimplemented/pathological on this TPU
+        # backend, so edge gather and variable scatter-add both become
+        # matmuls against S
+        sel = (
+            vidx.reshape(e, 1) == jnp.arange(self.n, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)  # [E, N]
+        sel_masked = sel * vmask.reshape(e, 1).astype(jnp.float32)
 
         def check_update(v2c):
             # v2c: [B, M, D] variable-to-check messages (gathered)
@@ -141,11 +152,16 @@ class HeaderLdpcDecoder:
             c2v = carry  # [B, M, D] check-to-variable messages
             # variable totals: sum of incoming c2v per variable + channel LLR
             contrib = jnp.where(vmask[None], c2v, 0.0)
-            var_sum = jnp.zeros_like(llrs).at[:, vidx.reshape(-1)].add(
-                contrib.reshape(contrib.shape[0], -1)
-            )
+            var_sum = jnp.dot(
+                contrib.reshape(contrib.shape[0], e),
+                sel_masked,
+                preferred_element_type=jnp.float32,
+            )  # [B, N] scatter-add as matmul
             total = llrs + var_sum
-            v2c = total[:, vidx] - c2v  # extrinsic
+            gathered = jnp.dot(
+                total, sel.T, preferred_element_type=jnp.float32
+            ).reshape(total.shape[0], m, dmax)  # edge gather as matmul
+            v2c = gathered - c2v  # extrinsic
             c2v_new = check_update(v2c)
             return c2v_new, None
 
@@ -157,8 +173,10 @@ class HeaderLdpcDecoder:
         )
         c2v, _ = jax.lax.scan(body, c2v0, None, length=self.num_iterations)
         contrib = jnp.where(vmask[None], c2v, 0.0)
-        var_sum = jnp.zeros_like(llrs).at[:, vidx.reshape(-1)].add(
-            contrib.reshape(contrib.shape[0], -1)
+        var_sum = jnp.dot(
+            contrib.reshape(contrib.shape[0], e),
+            sel_masked,
+            preferred_element_type=jnp.float32,
         )
         total = llrs + var_sum
         hard = (total < 0).astype(jnp.uint8)  # positive LLR -> bit 0
