@@ -219,11 +219,14 @@ class Receiver:
         d = n_base.shape[0]
         region_len = sps * (chunk - 1) + kk
 
+        # reversed per-detection taps as a grouped-conv kernel shared by both
+        # I/Q planes: kernel[k, 0, g] with groups ordered [I x D, Q x D]
+        kern = jnp.tile(arm_taps[:, ::-1].T[:, None, :], (1, 1, 2))  # [K,1,2D]
+
         def one_chunk(c):
             # per-detection contiguous regions via lax.map of dynamic slices
-            # (the only data-dependent indexing the TPU backend both supports
-            # and compiles quickly — large multi-row gathers take minutes to
-            # compile and vmapped/complex slices hit unimplemented paths)
+            # (large multi-row gathers take minutes to compile on this
+            # backend and vmapped/complex slices hit unimplemented paths)
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
 
             def slice_region(st):
@@ -241,21 +244,20 @@ class Receiver:
             cph, sph = jnp.cos(ph), jnp.sin(ph)
             dr = rr * cph - ri * sph
             di = rr * sph + ri * cph
-            # windows w[d, s, k] = region[d, (kk-1) + sps*s - k] via static
-            # strided slices (one per tap)
-            def windows(reg):
-                cols = [
-                    jax.lax.slice_in_dim(
-                        reg, kk - 1 - k2, kk - 1 - k2 + sps * (chunk - 1) + 1,
-                        stride=sps, axis=1,
-                    )
-                    for k2 in range(kk)
-                ]
-                return jnp.stack(cols, axis=-1)  # [D, chunk, K]
-
-            sym = jnp.einsum(
-                "dsk,dk->ds", windows(dr), arm_taps
-            ) + 1j * jnp.einsum("dsk,dk->ds", windows(di), arm_taps)
+            # matched filter + decimate as ONE grouped convolution (window
+            # stacks fused into a dot explode the backend compiler):
+            # out[0, s, g] = sum_k in[0, sps*s + k, g] * kern[k, 0, g]
+            inp = jnp.concatenate([dr, di], axis=0).T[None]  # [1, R, 2D]
+            out = jax.lax.conv_general_dilated(
+                inp,
+                kern,
+                window_strides=(sps,),
+                padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=2 * d,
+                preferred_element_type=jnp.float32,
+            )[0]  # [chunk, 2D]
+            sym = jax.lax.complex(out[:, :d], out[:, d:]).T  # [D, chunk]
             return amp_scale[:, None] * sym
 
         if nchunks == 1:
