@@ -228,14 +228,12 @@ class Receiver:
             # (large multi-row gathers take minutes to compile on this
             # backend and vmapped/complex slices hit unimplemented paths)
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
-
-            def slice_region(st):
-                return (
-                    jax.lax.dynamic_slice(xr, (st,), (region_len,)),
-                    jax.lax.dynamic_slice(xi, (st,), (region_len,)),
-                )
-
-            rr, ri = jax.lax.map(slice_region, start)  # [D, region_len] x2
+            # contiguous per-row windows as a 2-D gather — the same pattern
+            # as the acquisition frame gather, which this backend compiles
+            ridx = start[:, None] + jnp.arange(region_len, dtype=jnp.int32)
+            ridx = jnp.clip(ridx, 0, x.shape[0] - 1)
+            rr = xr[ridx]  # [D, region_len]
+            ri = xi[ridx]
             # derotate the region by exp(-i freq (n - n0))
             j = jnp.arange(region_len, dtype=jnp.int32)[None, :]
             ph = -freq[:, None] * (start[:, None] + j - n0[:, None]).astype(
