@@ -213,8 +213,10 @@ class Receiver:
         # this backend; a [D,A]x[A,K] matmul is instant and MXU-friendly)
         onehot = jax.nn.one_hot(arm, cfg.num_pfb_arms, dtype=jnp.float32)
         arm_taps = onehot @ jnp.asarray(self._arm_taps)  # [D, K]
-        chunk = min(cfg.symbol_chunk, num_syms)
-        nchunks = -(-num_syms // chunk)
+        # the grouped conv never materializes window stacks, so the whole
+        # extraction runs as one chunk
+        chunk = num_syms
+        nchunks = 1
         xr, xi = x.real, x.imag
         d = n_base.shape[0]
         region_len = sps * (chunk - 1) + kk
