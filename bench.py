@@ -43,11 +43,19 @@ def main():
     payloads = [rng.integers(0, 256, payload_len, dtype=np.uint8) for _ in range(12)]
     batch = PacketBatch.from_list(payloads, max_len=1536)
     s, l = tx.modulate_bursts(batch)
-    stream, total = ragged_concat(s, l, int(np.sum(np.asarray(l))))
+    lens = np.asarray(l)
+    stream, total = ragged_concat(s, l, int(lens.sum()))
     stream = to_host(stream)
     reps = block // stream.size + 1
     signal = np.tile(stream, reps)[:block]
-    num_pkts_per_block = int(block // stream.size * len(payloads))
+    # count packets whose full burst fits inside the block (the tail packet
+    # may be truncated mid-burst and is not expected to decode)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    starts = (
+        offsets[None, :] + (np.arange(reps) * stream.size)[:, None]
+    ).ravel()
+    ends = starts + np.tile(lens, reps)
+    num_pkts_per_block = int(np.count_nonzero(ends <= block))
 
     rx = Receiver(
         RxConfig(max_payload_len=1536, max_detections=32, freq_bins=4)
@@ -76,7 +84,7 @@ def main():
     acc, crc = jax.block_until_ready(step(xj))
     compile_s = time.time() - t0
     acc = np.asarray(acc)
-    decoded_frac = float(acc.sum()) / (num_pkts_per_block * channels)
+    decoded_frac = float(acc.sum()) / max(num_pkts_per_block * channels, 1)
 
     t0 = time.time()
     for _ in range(iters):
