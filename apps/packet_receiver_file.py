@@ -15,6 +15,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("PM_PLATFORM"):
+    # explicit platform override (the axon sitecustomize ignores
+    # JAX_PLATFORMS; this must be set via jax.config after import)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+
 from gr4_packet_modem_tpu.io.file import stream_c64_blocks
 from gr4_packet_modem_tpu.models.receiver import RxConfig
 from gr4_packet_modem_tpu.runtime.streaming import StreamingReceiver
@@ -29,6 +36,12 @@ def main():
     p.add_argument("--threshold", type=float, default=9.5)
     p.add_argument("--max-len", type=int, default=1536)
     p.add_argument("--block", type=int, default=1 << 18)
+    p.add_argument(
+        "--zmq",
+        action="store_true",
+        help="publish post-Costas header/payload symbols on tcp://*:5000 "
+        "and :5001 for scripts/plot_symbols.py (packet_receiver.hpp:159-189)",
+    )
     args = p.parse_args()
 
     tun = None
@@ -37,6 +50,13 @@ def main():
 
         tun = TunDevice(args.tun, args.netns)
 
+    header_tap = payload_tap = None
+    if args.zmq:
+        from gr4_packet_modem_tpu.io.zmq_pub import ZmqPduPubSink
+
+        header_tap = ZmqPduPubSink("tcp://*:5000")
+        payload_tap = ZmqPduPubSink("tcp://*:5001")
+
     rx = StreamingReceiver(
         RxConfig(
             max_payload_len=args.max_len,
@@ -44,6 +64,8 @@ def main():
             power_threshold=args.threshold,
         ),
         block=args.block,
+        header_tap=header_tap,
+        payload_tap=payload_tap,
     )
     total = 0
     for block in stream_c64_blocks(args.iq_file, args.block):

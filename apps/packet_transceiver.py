@@ -19,6 +19,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("PM_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+
 import numpy as np
 
 import jax
@@ -56,6 +61,12 @@ def main():
     p.add_argument("--netns-in", default="")
     p.add_argument("--netns-out", default="")
     p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument(
+        "--zmq",
+        action="store_true",
+        help="publish post-Costas header/payload symbols on tcp://*:5000 "
+        "and :5001 for scripts/plot_symbols.py",
+    )
     args = p.parse_args()
 
     tx = StreamingTransmitter(
@@ -63,9 +74,17 @@ def main():
             TxConfig(max_payload_len=args.max_len, stream_mode=args.stream)
         )
     )
+    header_tap = payload_tap = None
+    if args.zmq:
+        from gr4_packet_modem_tpu.io.zmq_pub import ZmqPduPubSink
+
+        header_tap = ZmqPduPubSink("tcp://*:5000")
+        payload_tap = ZmqPduPubSink("tcp://*:5001")
     rx = StreamingReceiver(
         RxConfig(max_payload_len=args.max_len, freq_bins=args.bins),
         block=1 << 17,
+        header_tap=header_tap,
+        payload_tap=payload_tap,
     )
     throttle = Throttle(args.samp_rate)
     probe = ProbeRate()

@@ -16,6 +16,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("PM_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+
 import numpy as np
 
 from gr4_packet_modem_tpu.io.file import FileSinkC64

@@ -69,6 +69,10 @@ class RxConfig:
     # estimator (scan-free, within-SNR equivalent, faster on TPU)
     payload_carrier: str = "costas"
     vv_block: int = 64                # V&V averaging block (symbols)
+    # keep post-correction payload symbols in PayloadResult.symbols (for the
+    # ZMQ monitoring taps, packet_receiver.hpp:159-189); off by default to
+    # avoid the extra device->host traffic
+    keep_payload_symbols: bool = False
 
     @property
     def max_payload_syms(self) -> int:
@@ -107,9 +111,13 @@ class PayloadResult:
     lengths: jax.Array    # int32 [D]
     crc_ok: jax.Array     # bool [D]
     accepted: jax.Array   # bool [D] full accept: kept & header & crc & type
+    symbols: jax.Array    # float32 [D, S, 2] corrected payload symbol I/Q
+    #                       planes ([D, 0, 2] unless keep_payload_symbols)
 
     def tree_flatten(self):
-        return (self.data, self.lengths, self.crc_ok, self.accepted), None
+        return (
+            self.data, self.lengths, self.crc_ok, self.accepted, self.symbols,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -226,16 +234,20 @@ class Receiver:
         kern = jnp.tile(arm_taps[:, ::-1].T[:, None, :], (1, 1, 2))  # [K,1,2D]
 
         def one_chunk(c):
-            # per-detection contiguous regions via lax.map of dynamic slices
-            # (large multi-row gathers take minutes to compile on this
-            # backend and vmapped/complex slices hit unimplemented paths)
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
-            # contiguous per-row windows as a 2-D gather — the same pattern
-            # as the acquisition frame gather, which this backend compiles
-            ridx = start[:, None] + jnp.arange(region_len, dtype=jnp.int32)
-            ridx = jnp.clip(ridx, 0, x.shape[0] - 1)
-            rr = xr[ridx]  # [D, region_len]
-            ri = xi[ridx]
+            # per-detection contiguous regions via vmapped dynamic slices:
+            # XLA lowers these to row-slice DMAs. (A 2-D index-matrix gather
+            # of the same windows runs ~20x slower on this backend — it
+            # serializes element-wise; measured 104 ms vs 6 ms for the
+            # payload pass at D=32, S=6160, 8 channels.)
+            start_c = jnp.clip(start, 0, x.shape[0] - region_len)
+            rr = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(xr, (s,), (region_len,))
+            )(start_c)  # [D, region_len]
+            ri = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(xi, (s,), (region_len,))
+            )(start_c)
+            start = start_c
             # derotate the region by exp(-i freq (n - n0))
             j = jnp.arange(region_len, dtype=jnp.int32)[None, :]
             ph = -freq[:, None] * (start[:, None] + j - n0[:, None]).astype(
@@ -465,8 +477,13 @@ class Receiver:
             & crc_ok
             & (hdr.packet_type == int(C.PacketType.USER_DATA))
         )
+        if cfg.keep_payload_symbols:
+            sym_planes = jnp.stack([corrected.real, corrected.imag], axis=-1)
+        else:
+            sym_planes = jnp.zeros((corrected.shape[0], 0, 2), jnp.float32)
         return PayloadResult(
-            data=payload, lengths=plen, crc_ok=crc_ok, accepted=accepted
+            data=payload, lengths=plen, crc_ok=crc_ok, accepted=accepted,
+            symbols=sym_planes,
         )
 
     # -------------------------------------------------------------- high level

@@ -81,11 +81,13 @@ class Detections:
     time_est: jax.Array   # float32 [D] in [-0.5, 0.5]
     noise_power: jax.Array  # float32 [D]
     esn0_db: jax.Array    # float32 [D]
+    overflow: jax.Array   # bool [] more peaks than max_detections slots
 
     def tree_flatten(self):
         return (
             self.index, self.valid, self.amplitude, self.phase, self.freq,
             self.freq_bin, self.time_est, self.noise_power, self.esn0_db,
+            self.overflow,
         ), None
 
     @classmethod
@@ -217,6 +219,10 @@ class SyncwordAcquirer:
         cand_pow = jnp.where(is_peak, best_pow, -1.0)
         top_pow, top_idx = jax.lax.top_k(cand_pow, d)
         cand_valid = top_pow > 0
+        # saturation flag: more window-max peaks exist than detection slots
+        # (the reference degrades via stream backpressure; here excess
+        # candidates would silently vanish, so the condition is surfaced)
+        overflow = jnp.sum((cand_pow > 0).astype(jnp.int32)) > d
         # CFAR median-proxy test on gathered windows
         thr = top_pow / cfg.power_threshold
 
@@ -296,6 +302,7 @@ class SyncwordAcquirer:
             time_est=sel(time_est.astype(jnp.float32)),
             noise_power=sel(noise_power.astype(jnp.float32)),
             esn0_db=sel(esn0.astype(jnp.float32)),
+            overflow=overflow,
         )
 
 

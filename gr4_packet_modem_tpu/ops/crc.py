@@ -32,7 +32,10 @@ import numpy as np
 
 from ..utils import constants as C
 
-__all__ = ["CrcRef", "crc32_ref", "CrcEngine", "make_crc32_engine"]
+__all__ = [
+    "CrcRef", "crc32_ref", "CrcEngine", "make_crc32_engine",
+    "BatchedCrcAppend", "BatchedCrcCheck",
+]
 
 
 class CrcRef:
@@ -184,6 +187,110 @@ class CrcEngine:
 @lru_cache(maxsize=8)
 def make_crc32_engine(max_len: int) -> CrcEngine:
     return CrcEngine(max_len)
+
+
+class BatchedCrcAppend:
+    """Batched CrcAppend block equivalent with full option parity
+    (crc_append.hpp:66-73): the CRC is computed over ``data[skip:]`` of each
+    packet and appended big-endian, or byte-reversed when
+    ``swap_endianness``. Packets not longer than ``skip_header_bytes`` pass
+    through unchanged (crc_append.hpp:254-258)."""
+
+    def __init__(
+        self,
+        max_len: int,
+        swap_endianness: bool = False,
+        skip_header_bytes: int = 0,
+    ):
+        self.max_len = int(max_len)
+        self.swap_endianness = bool(swap_endianness)
+        self.skip = int(skip_header_bytes)
+        self._engine = make_crc32_engine(self.max_len)
+
+    @partial(jax.jit, static_argnums=0)
+    def append(self, data: jax.Array, lengths: jax.Array):
+        """data: uint8 [B, max_len] left-aligned; lengths: int32 [B].
+        Returns (out [B, max_len+4], out_lengths [B])."""
+        lengths = lengths.astype(jnp.int32)
+        body_len = jnp.maximum(lengths - self.skip, 0)
+        body = data[:, self.skip :] if self.skip else data
+        # mask padding defensively, then CRC the ragged body
+        pos = jnp.arange(body.shape[1], dtype=jnp.int32)[None, :]
+        body = jnp.where(pos < body_len[:, None], body, 0)
+        crc = self._engine.compute(
+            jnp.pad(body, ((0, 0), (0, self.max_len - body.shape[1]))),
+            jnp.minimum(body_len, self.max_len),
+        )
+        cb = crc_bytes_be(crc)  # [B, 4] big-endian
+        if self.swap_endianness:
+            cb = cb[:, ::-1]
+        too_short = lengths <= self.skip
+        out = jnp.pad(data, ((0, 0), (0, C.CRC_NUM_BYTES)))
+        # place CRC bytes at positions length..length+3 (scatter-free)
+        jpos = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :]
+        for i in range(C.CRC_NUM_BYTES):
+            sel = jpos == (lengths + i)[:, None]
+            out = jnp.where(
+                sel & ~too_short[:, None], cb[:, i : i + 1], out
+            )
+        out_lengths = jnp.where(
+            too_short, lengths, lengths + C.CRC_NUM_BYTES
+        )
+        return out.astype(jnp.uint8), out_lengths
+
+
+class BatchedCrcCheck:
+    """Batched CrcCheck block equivalent (crc_check.hpp): verifies the
+    trailing CRC over ``data[skip:]``, optionally stripping it. Returns the
+    ok mask; callers drop failed packets (the reference forwards only
+    passing packets)."""
+
+    def __init__(
+        self,
+        max_len: int,
+        swap_endianness: bool = False,
+        skip_header_bytes: int = 0,
+        discard_crc: bool = True,
+    ):
+        self.max_len = int(max_len)  # max length INCLUDING the CRC
+        self.swap_endianness = bool(swap_endianness)
+        self.skip = int(skip_header_bytes)
+        self.discard_crc = bool(discard_crc)
+        self._engine = make_crc32_engine(self.max_len)
+
+    @partial(jax.jit, static_argnums=0)
+    def check(self, data: jax.Array, lengths: jax.Array):
+        """Returns (ok [B] bool, out_data, out_lengths) with the CRC
+        stripped when ``discard_crc``."""
+        lengths = lengths.astype(jnp.int32)
+        body_end = jnp.maximum(lengths - C.CRC_NUM_BYTES, 0)
+        body_len = jnp.maximum(body_end - self.skip, 0)
+        body = data[:, self.skip :] if self.skip else data
+        pos = jnp.arange(body.shape[1], dtype=jnp.int32)[None, :]
+        body = jnp.where(pos < body_len[:, None], body, 0)
+        crc = self._engine.compute(
+            jnp.pad(body, ((0, 0), (0, self.max_len - body.shape[1]))),
+            jnp.minimum(body_len, self.max_len),
+        )
+        # received CRC bytes at body_end..body_end+3 via iota select
+        jpos = jnp.arange(data.shape[1], dtype=jnp.int32)
+        rx = [
+            jnp.sum(
+                data.astype(jnp.int32)
+                * (jpos[None, :] == (body_end + i)[:, None]),
+                axis=1,
+            ).astype(jnp.uint32)
+            for i in range(C.CRC_NUM_BYTES)
+        ]
+        if self.swap_endianness:
+            rx = rx[::-1]
+        crc_rx = (rx[0] << 24) | (rx[1] << 16) | (rx[2] << 8) | rx[3]
+        ok = (crc == crc_rx) & (lengths > self.skip + C.CRC_NUM_BYTES)
+        if self.discard_crc:
+            mask = jnp.arange(data.shape[1], dtype=jnp.int32)[None, :]
+            out = jnp.where(mask < body_end[:, None], data, 0)
+            return ok, out.astype(jnp.uint8), body_end
+        return ok, data, lengths
 
 
 def crc_bytes_be(crc: jax.Array) -> jax.Array:

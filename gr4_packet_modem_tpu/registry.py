@@ -45,7 +45,8 @@ BLOCK_REGISTRY: dict[str, BlockEntry] = {
     "HeaderFecEncoder": _E("header_fec_encoder.hpp", "op",
         "ops.ldpc.encode_header"),
     "CrcAppend": _E("crc_append.hpp", "op",
-        "ops.crc.CrcEngine", "GF(2)-matmul CRC + crc_bytes_be append"),
+        "ops.crc.BatchedCrcAppend",
+        "GF(2)-matmul CRC append w/ swap_endianness + skip_header_bytes"),
     "PacketMux": _E("packet_mux.hpp", "subsumed",
         "models.transmitter.Transmitter.modulate_bursts",
         "static-offset concatenation of header||payload and "
@@ -101,7 +102,8 @@ BLOCK_REGISTRY: dict[str, BlockEntry] = {
         "models.receiver.Receiver.decode_headers"),
     "BinarySlicer": _E("binary_slicer.hpp", "op", "ops.packing.binary_slice"),
     "CrcCheck": _E("crc_check.hpp", "op",
-        "ops.crc.CrcEngine", "batched check in Receiver.decode_payloads"),
+        "ops.crc.BatchedCrcCheck",
+        "batched check (also fused in Receiver.decode_payloads)"),
     "PacketTypeFilter": _E("packet_type_filter.hpp", "subsumed",
         "models.receiver.Receiver.decode_payloads", "accepted mask"),
     "PacketReceiver": _E("packet_receiver.hpp", "model",

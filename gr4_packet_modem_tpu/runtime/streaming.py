@@ -25,7 +25,12 @@ from ..utils import constants as C
 from ..utils.cplx import to_device, to_host
 from ..utils.ragged import PacketBatch, ragged_concat
 
-__all__ = ["StreamingReceiver", "StreamingTransmitter", "DecodedPacket"]
+__all__ = [
+    "StreamingReceiver",
+    "StreamingTransmitter",
+    "PacketToStream",
+    "DecodedPacket",
+]
 
 
 @dataclass
@@ -37,9 +42,27 @@ class DecodedPacket:
 
 
 class StreamingReceiver:
-    """Block-streaming wrapper around the batched Receiver."""
+    """Block-streaming wrapper around the batched Receiver.
 
-    def __init__(self, config: RxConfig = RxConfig(), block: int = 1 << 18):
+    ``header_tap`` / ``payload_tap`` are optional sinks with a
+    ``send(np.ndarray)`` method (e.g. io.zmq_pub.ZmqPduPubSink); when given,
+    the post-Costas header / payload symbols of every accepted packet are
+    published per packet — the ZMQ monitoring taps of
+    packet_receiver.hpp:159-189 feeding scripts/plot_symbols.py."""
+
+    def __init__(
+        self,
+        config: RxConfig = RxConfig(),
+        block: int = 1 << 18,
+        header_tap=None,
+        payload_tap=None,
+    ):
+        import dataclasses
+
+        self.header_tap = header_tap
+        self.payload_tap = payload_tap
+        if payload_tap is not None and not config.keep_payload_symbols:
+            config = dataclasses.replace(config, keep_payload_symbols=True)
         self.rx = Receiver(config)
         self.block = block
         fp, pt = self.rx.front_pad, self.rx.pad_tail()
@@ -51,6 +74,7 @@ class StreamingReceiver:
         self._abs_offset = -(fp + pt + block)
         self._busy_until = -(1 << 62)
         self._pending = np.zeros(0, np.complex64)
+        self.overflow_blocks = 0  # blocks whose acquisition saturated
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -62,7 +86,12 @@ class StreamingReceiver:
 
             fresh = (det.index >= fresh_lo) & (det.index < fresh_hi)
             det = dataclasses.replace(det, valid=det.valid & fresh)
-            hdr, _ = rx.decode_headers(buf, det)
+            hdr, hdr_corrected = rx.decode_headers(buf, det)
+            # header symbols as I/Q planes (complex d2h transfers are
+            # unreliable on this backend); tiny: [D, 192, 2] float32
+            hdr_syms = jnp.stack(
+                [hdr_corrected.real, hdr_corrected.imag], axis=-1
+            )
             # in-packet suppression carried across blocks via busy0
             sps = rx.config.samples_per_symbol
             payload_syms = 4 * (hdr.packet_length + C.CRC_NUM_BYTES)
@@ -82,7 +111,7 @@ class StreamingReceiver:
                 sstep, busy0 + det.index[0] * 0, (det.index, det.valid, extent)
             )
             res = rx.decode_payloads(buf, det, hdr, keep)
-            return det, hdr, res, busy_end
+            return det, hdr, res, busy_end, hdr_syms
 
         return step
 
@@ -101,11 +130,19 @@ class StreamingReceiver:
         return out
 
     def flush(self) -> list[DecodedPacket]:
-        """Process any buffered tail (pads with zeros)."""
-        if self._pending.size == 0:
-            return []
-        pad = np.zeros(self.block - self._pending.size, np.complex64)
-        return self.process(pad)
+        """Drain the pipeline: pad the buffered tail to a full block, then
+        feed enough zero blocks that every real sample passes through the
+        fresh decode window with full lookahead. (The fresh region always
+        lags the newest ``pad_tail`` samples by design, so even when input
+        ends exactly on a block boundary one more block must be pushed —
+        packet_to_stream.hpp drains the same way via stream backpressure.)"""
+        out: list[DecodedPacket] = []
+        if self._pending.size:
+            pad = np.zeros(self.block - self._pending.size, np.complex64)
+            out.extend(self.process(pad))
+        nz = -(-self.pt // self.block)  # ceil(pt / block)
+        out.extend(self.process(np.zeros(nz * self.block, np.complex64)))
+        return out
 
     def _process_block(self, chunk: jax.Array) -> list[DecodedPacket]:
         # slide the fixed buffer left by one block, append the new chunk
@@ -115,13 +152,25 @@ class StreamingReceiver:
         busy0_local = np.int32(
             np.clip(self._busy_until - self._abs_offset, -(1 << 30), 1 << 30)
         )
-        det, hdr, res, busy_end = self._step(
+        det, hdr, res, busy_end, hdr_syms = self._step(
             self._buf,
             jnp.int32(self.fp),
             jnp.int32(self.fp + self.block),
             jnp.int32(busy0_local),
         )
         self._busy_until = int(busy_end) + self._abs_offset
+        if bool(np.asarray(det.overflow)):
+            self.overflow_blocks += 1
+            if self.overflow_blocks == 1:
+                import warnings
+
+                warnings.warn(
+                    "acquisition candidate cap saturated (max_detections "
+                    f"= {self.rx.config.max_detections}); packets may be "
+                    "dropped — raise RxConfig.max_detections",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
         accepted = np.asarray(res.accepted)
         out = []
         if accepted.any():
@@ -130,6 +179,10 @@ class StreamingReceiver:
             idxs = np.asarray(det.index)
             types = np.asarray(hdr.packet_type)
             esn0 = np.asarray(det.esn0_db)
+            if self.header_tap is not None:
+                hs = np.asarray(hdr_syms)  # [D, 192, 2]
+            if self.payload_tap is not None:
+                ps = np.asarray(res.symbols)  # [D, S, 2]
             for i in np.nonzero(accepted)[0]:
                 out.append(
                     DecodedPacket(
@@ -139,6 +192,78 @@ class StreamingReceiver:
                         esn0_db=float(esn0[i]),
                     )
                 )
+                if self.header_tap is not None:
+                    # the 128 header symbols after the syncword, as in the
+                    # reference's post-SyncwordRemove header tap (port 5000)
+                    h = hs[i, C.SYNCWORD_LEN :]
+                    self.header_tap.send(
+                        (h[:, 0] + 1j * h[:, 1]).astype(np.complex64)
+                    )
+                if self.payload_tap is not None:
+                    n_syms = 4 * (int(lens[i]) + C.CRC_NUM_BYTES)
+                    p = ps[i, :n_syms]
+                    self.payload_tap.send(
+                        (p[:, 0] + 1j * p[:, 1]).astype(np.complex64)
+                    )
+        return out
+
+
+class PacketToStream:
+    """Burst -> continuous-stream converter with starve-time zero fill
+    (packet_to_stream.hpp:17-45): ``pull(n)`` always returns exactly ``n``
+    samples for a constant-rate DAC. Queued bursts are emitted back-to-back;
+    when the queue runs dry *between* packets the output is zero-filled, but
+    zeros are never inserted mid-packet — a partially-emitted burst is
+    always finished from its own samples first. ``on_packet`` mirrors the
+    optional ``count`` port (one call per burst that starts crossing, with
+    the running total) for the latency credit loop (PacketCounter)."""
+
+    def __init__(self, on_packet=None):
+        self._queue: list[np.ndarray] = []
+        self._current: np.ndarray | None = None
+        self._pos = 0
+        self._packet_count = 0
+        self.on_packet = on_packet
+        self.zeros_inserted = 0
+
+    def push(self, burst: np.ndarray) -> None:
+        """Enqueue one finished burst (one packet's samples)."""
+        b = np.asarray(burst, np.complex64)
+        if b.size:
+            self._queue.append(b)
+
+    @property
+    def pending(self) -> int:
+        """Samples queued (including the unfinished current packet)."""
+        n = sum(b.size for b in self._queue)
+        if self._current is not None:
+            n += self._current.size - self._pos
+        return n
+
+    def pull(self, n: int) -> np.ndarray:
+        """Return exactly ``n`` samples: packet data while available,
+        zeros between packets when starved."""
+        out = np.zeros(n, np.complex64)
+        filled = 0
+        while filled < n:
+            if self._current is None:
+                if not self._queue:
+                    # starved between packets: zero-fill the rest
+                    self.zeros_inserted += n - filled
+                    break
+                self._current = self._queue.pop(0)
+                self._pos = 0
+                self._packet_count += 1
+                if self.on_packet is not None:
+                    self.on_packet(self._packet_count)
+            take = min(n - filled, self._current.size - self._pos)
+            out[filled : filled + take] = self._current[
+                self._pos : self._pos + take
+            ]
+            self._pos += take
+            filled += take
+            if self._pos == self._current.size:
+                self._current = None
         return out
 
 

@@ -69,11 +69,13 @@ class TestPerSnr:
         assert pers[0] <= pers[1] <= pers[2] + 1e-9
 
     def test_uncoded_qpsk_theory_midpoint(self):
-        """At Es/N0 ~ 9 dB, QPSK BER ~ 2e-3 -> 200B packet success
-        (1-ber)^1632 ~ 4%; at 12 dB BER ~ 2e-4 -> ~70%. The measured PER
-        must fall between the 8 and 13 dB theoretical brackets."""
-        from scipy import stats
-
-        per_12, _ = _per_at(12.0, seed=3)
-        # loose bracket: theory 0.28 +- binomial noise at N=24
-        assert 0.0 <= per_12 <= 0.75
+        """Waterfall-midpoint check at Es/N0 = 11 dB: QPSK BER = Q(sqrt(
+        Es/N0)) ~ 1.9e-4 -> 204B-packet success (1-ber)^1632 ~ 0.73, i.e.
+        theoretical PER ~ 0.27; with implementation losses (Costas jitter,
+        timing, amplitude estimate) the measured mean over 72 packets is
+        ~0.39 (binomial sigma ~ 0.06). Assert a +-5 sigma bracket so both a
+        broken demodulator (PER -> 1) and a cheating one (PER below theory)
+        fail."""
+        pers = [_per_at(11.0, seed=s)[0] for s in range(3)]
+        mean_per = sum(pers) / len(pers)
+        assert 0.10 <= mean_per <= 0.68, f"PER@11dB = {mean_per}"

