@@ -1,0 +1,73 @@
+"""Pin down the payload-extraction pathology: layout/transpose variants."""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+CH, ITERS, D, S, SPS, K = 8, 10, 32, 6160, 4, 44
+BLOCK = 1 << 18
+T = 3604 + BLOCK + 30000
+REGION = SPS * (S - 1) + K
+rng = np.random.default_rng(0)
+xr = jnp.asarray(rng.standard_normal((CH, T)).astype(np.float32))
+xi = jnp.asarray(rng.standard_normal((CH, T)).astype(np.float32))
+st = jnp.asarray(np.sort(rng.integers(0, BLOCK, (CH, D))).astype(np.int32))
+fr = jnp.asarray((rng.standard_normal((CH, D)) * 0.01).astype(np.float32))
+taps = jnp.asarray(rng.standard_normal((D, K)).astype(np.float32))
+
+def conv_of(inp):
+    kern = jnp.tile(taps[:, ::-1].T[:, None, :], (1, 1, 2))
+    return jax.lax.conv_general_dilated(
+        inp, kern, window_strides=(SPS,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=2 * D, preferred_element_type=jnp.float32)[0]
+
+def derot_regions(xr, xi, st, freq):
+    ridx = jnp.clip(st[:, None] + jnp.arange(REGION, dtype=jnp.int32), 0, T - 1)
+    rr, ri = xr[ridx], xi[ridx]
+    ph = -freq[:, None] * jnp.arange(REGION, dtype=jnp.float32)[None, :]
+    cph, sph = jnp.cos(ph), jnp.sin(ph)
+    return rr * cph - ri * sph, rr * sph + ri * cph
+
+def v_barrier_after_t(xr, xi, st, freq):
+    dr, di = derot_regions(xr, xi, st, freq)
+    inp = jnp.concatenate([dr, di], axis=0).T[None]
+    inp = jax.lax.optimization_barrier(inp)
+    return conv_of(inp)
+
+def v_transposed_gather(xr, xi, st, freq):
+    # build regions directly in [R, D] orientation: no transpose later
+    ridx = jnp.clip(st[None, :] + jnp.arange(REGION, dtype=jnp.int32)[:, None], 0, T - 1)  # [R, D]
+    rr, ri = xr[ridx], xi[ridx]
+    ph = -freq[None, :] * jnp.arange(REGION, dtype=jnp.float32)[:, None]
+    cph, sph = jnp.cos(ph), jnp.sin(ph)
+    dr = rr * cph - ri * sph
+    di = rr * sph + ri * cph
+    inp = jnp.concatenate([dr, di], axis=1)[None]  # [1, R, 2D]
+    return conv_of(inp)
+
+def run(name, fn):
+    f = jax.jit(lambda a, b, c, d: jax.vmap(fn)(a, b, c, d))
+    t0 = time.time(); out = jax.block_until_ready(f(xr, xi, st, fr)); comp = time.time() - t0
+    t0 = time.time()
+    for _ in range(ITERS): out = f(xr, xi, st, fr)
+    jax.block_until_ready(out)
+    print(json.dumps({"part": name, "ms": round((time.time()-t0)/ITERS*1e3, 3), "compile_s": round(comp,1)}), flush=True)
+
+# two-jit split ground truth
+f1 = jax.jit(lambda a, b, c, d: jax.vmap(derot_regions)(a, b, c, d))
+f2 = jax.jit(lambda dr, di: jax.vmap(lambda r, i: conv_of(jnp.concatenate([r, i], axis=0).T[None]))(dr, di))
+dr0, di0 = jax.block_until_ready(f1(xr, xi, st, fr))
+out = jax.block_until_ready(f2(dr0, di0))
+t0 = time.time()
+for _ in range(ITERS):
+    dr0, di0 = f1(xr, xi, st, fr)
+    out = f2(dr0, di0)
+jax.block_until_ready(out)
+print(json.dumps({"part": "two_jit_split", "ms": round((time.time()-t0)/ITERS*1e3, 3)}), flush=True)
+
+run("barrier_after_transpose", v_barrier_after_t)
+run("transposed_gather", v_transposed_gather)

@@ -72,9 +72,14 @@ class StreamingReceiver:
         # absolute stream index of buf[0]; the first real sample lands at
         # buffer position fp + pt after the first block append
         self._abs_offset = -(fp + pt + block)
-        self._busy_until = -(1 << 62)
+        # in-packet suppression state, device-resident (local coordinates of
+        # the *next* block) so consecutive steps chain without a host sync
+        self._busy_dev = jnp.int32(-(1 << 30))
         self._pending = np.zeros(0, np.complex64)
         self.overflow_blocks = 0  # blocks whose acquisition saturated
+        # one-block-deep pipeline: results of block N are materialized on
+        # the host while block N+1 computes (SURVEY §7 hard-part 5)
+        self._inflight = None
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -111,7 +116,10 @@ class StreamingReceiver:
                 sstep, busy0 + det.index[0] * 0, (det.index, det.valid, extent)
             )
             res = rx.decode_payloads(buf, det, hdr, keep)
-            return det, hdr, res, busy_end, hdr_syms
+            # busy state pre-shifted into the next block's local coordinates
+            block = jnp.int32(self.block)
+            busy_next = jnp.maximum(busy_end - block, -(1 << 30))
+            return det, hdr, res, busy_next, hdr_syms
 
         return step
 
@@ -135,30 +143,43 @@ class StreamingReceiver:
         fresh decode window with full lookahead. (The fresh region always
         lags the newest ``pad_tail`` samples by design, so even when input
         ends exactly on a block boundary one more block must be pushed —
-        packet_to_stream.hpp drains the same way via stream backpressure.)"""
+        packet_to_stream.hpp drains the same way via stream backpressure.)
+        Finally the last in-flight step is materialized."""
         out: list[DecodedPacket] = []
         if self._pending.size:
             pad = np.zeros(self.block - self._pending.size, np.complex64)
             out.extend(self.process(pad))
         nz = -(-self.pt // self.block)  # ceil(pt / block)
         out.extend(self.process(np.zeros(nz * self.block, np.complex64)))
+        out.extend(self._drain())
         return out
 
     def _process_block(self, chunk: jax.Array) -> list[DecodedPacket]:
         # slide the fixed buffer left by one block, append the new chunk
         self._buf = jnp.concatenate([self._buf[self.block :], chunk])
         self._abs_offset += self.block
-        # fresh region within the buffer: [fp, fp + block)
-        busy0_local = np.int32(
-            np.clip(self._busy_until - self._abs_offset, -(1 << 30), 1 << 30)
-        )
-        det, hdr, res, busy_end, hdr_syms = self._step(
+        # dispatch asynchronously; the previous block's results are
+        # materialized below while this step runs on device
+        det, hdr, res, busy_next, hdr_syms = self._step(
             self._buf,
             jnp.int32(self.fp),
             jnp.int32(self.fp + self.block),
-            jnp.int32(busy0_local),
+            self._busy_dev,
         )
-        self._busy_until = int(busy_end) + self._abs_offset
+        self._busy_dev = busy_next
+        prev, self._inflight = self._inflight, (
+            det, hdr, res, hdr_syms, self._abs_offset,
+        )
+        if prev is None:
+            return []
+        return self._materialize(prev)
+
+    def _drain(self) -> list[DecodedPacket]:
+        prev, self._inflight = self._inflight, None
+        return self._materialize(prev) if prev is not None else []
+
+    def _materialize(self, inflight) -> list[DecodedPacket]:
+        det, hdr, res, hdr_syms, abs_offset = inflight
         if bool(np.asarray(det.overflow)):
             self.overflow_blocks += 1
             if self.overflow_blocks == 1:
@@ -187,7 +208,7 @@ class StreamingReceiver:
                 out.append(
                     DecodedPacket(
                         data=data[i, : lens[i]].copy(),
-                        index=int(idxs[i]) + self._abs_offset,
+                        index=int(idxs[i]) + abs_offset,
                         packet_type=int(types[i]),
                         esn0_db=float(esn0[i]),
                     )
