@@ -152,11 +152,11 @@ BLOCK_REGISTRY: dict[str, BlockEntry] = {
     "MessageDebug": _E("message_debug.hpp", "runtime",
         "runtime.messages.MessageDebug"),
     "MessageDebugStream": _E("message_debug_stream.hpp", "runtime",
-        "runtime.messages.MessageDebug"),
+        "runtime.messages.MessageDebugStream"),
     "MessageStrobe": _E("message_strobe.hpp", "runtime",
         "runtime.messages.MessageStrobe"),
     "ItemStrobe": _E("item_strobe.hpp", "runtime",
-        "runtime.messages.MessageStrobe"),
+        "runtime.messages.ItemStrobe"),
     "PacketStrobe": _E("packet_strobe.hpp", "runtime",
         "runtime.messages.PacketStrobe"),
     # --------------------------------------------------- shared primitives

@@ -17,7 +17,13 @@ import threading
 import time
 from typing import Any, Callable
 
-__all__ = ["MessageDebug", "MessageStrobe", "PacketStrobe"]
+__all__ = [
+    "MessageDebug",
+    "MessageDebugStream",
+    "MessageStrobe",
+    "ItemStrobe",
+    "PacketStrobe",
+]
 
 
 class MessageDebug:
@@ -37,6 +43,68 @@ class MessageDebug:
     def messages(self) -> list[dict]:
         with self._lock:
             return list(self._messages)
+
+
+class MessageDebugStream:
+    """Stream-input variant of MessageDebug (message_debug_stream.hpp):
+    instead of named message endpoints it consumes an *iterable/stream* of
+    messages — the framework analogue of ``PortIn<gr::Message>`` — storing
+    and optionally printing each. ``drain(it)`` consumes a whole iterable;
+    ``push(msg)`` consumes one item."""
+
+    def __init__(self, do_print: bool = False):
+        self._inner = MessageDebug(do_print)
+
+    def push(self, message: dict) -> None:
+        self._inner.store(message)
+
+    def drain(self, messages) -> int:
+        n = 0
+        for m in messages:
+            self._inner.store(m)
+            n += 1
+        return n
+
+    def messages(self) -> list[dict]:
+        return self._inner.messages()
+
+
+class ItemStrobe:
+    """Periodic single-*item* source (item_strobe.hpp): unlike
+    MessageStrobe it emits a stream item (any value) per interval, pull- or
+    push-driven. ``next_item()`` blocks until the next item is due and
+    returns it; with a callback, ``start()`` pushes on a thread."""
+
+    def __init__(self, item, interval: float, callback=None):
+        self.item = item
+        self.interval = float(interval)
+        self._callback = callback
+        self._next_due = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = None
+
+    def next_item(self):
+        now = time.monotonic()
+        delay = self._next_due - now
+        if delay > 0:
+            time.sleep(delay)
+        self._next_due = max(self._next_due + self.interval, time.monotonic())
+        return self.item
+
+    def start(self):
+        assert self._callback is not None, "start() needs a callback"
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self._callback(self.item)
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join(timeout=2 * self.interval + 1)
 
 
 class MessageStrobe:

@@ -173,6 +173,37 @@ class TestFlow:
         assert credit.in_flight == 2
 
 
+class TestMessages:
+    def test_item_strobe_pull(self):
+        from gr4_packet_modem_tpu.runtime.messages import ItemStrobe
+
+        strobe = ItemStrobe(item=42, interval=0.02)
+        t0 = time.monotonic()
+        items = [strobe.next_item() for _ in range(3)]
+        assert items == [42, 42, 42]
+        # first item fires immediately, the next two wait one interval each
+        # (0.9 factor: time.sleep may undershoot by the timer granularity)
+        assert time.monotonic() - t0 >= 0.9 * 2 * 0.02
+
+    def test_item_strobe_push(self):
+        from gr4_packet_modem_tpu.runtime.messages import ItemStrobe
+
+        got = []
+        strobe = ItemStrobe(item="x", interval=0.02, callback=got.append)
+        strobe.start()
+        time.sleep(0.1)
+        strobe.stop()
+        assert len(got) >= 2
+
+    def test_message_debug_stream(self):
+        from gr4_packet_modem_tpu.runtime.messages import MessageDebugStream
+
+        dbg = MessageDebugStream()
+        dbg.push({"a": 1})
+        assert dbg.drain(iter([{"b": 2}, {"c": 3}])) == 2
+        assert dbg.messages() == [{"a": 1}, {"b": 2}, {"c": 3}]
+
+
 class TestHostIo:
     def test_file_roundtrip(self):
         with tempfile.TemporaryDirectory() as d:
