@@ -16,6 +16,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+if os.environ.get("PM_PLATFORM"):
+    # the axon sitecustomize overrides JAX_PLATFORMS; this must be a config
+    # update after import (see CLAUDE.md)
+    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+
 from benchmarks.common import tiled_burst_signal
 from gr4_packet_modem_tpu.models.receiver import RxConfig
 from gr4_packet_modem_tpu.parallel import multihost
@@ -28,7 +35,7 @@ def main():
     sig, _ = tiled_burst_signal(total=block, max_payload_len=256, payload_len=200)
     results = multihost.measure_scaling(
         sig,
-        device_counts=(1, None),
+        device_counts=(1, 2, 4, None),
         channels_per_device=ch_per_dev,
         rx_config=RxConfig(max_payload_len=256, max_detections=16),
     )

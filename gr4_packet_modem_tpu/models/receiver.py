@@ -42,6 +42,10 @@ import numpy as np
 from ..ops import ldpc
 from ..ops.acquire import AcquisitionConfig, Detections, SyncwordAcquirer
 from ..ops.costas import costas_run, costas_segments
+from ..ops.costas_pallas import (
+    PALLAS_MAX_SYMBOLS as _PALLAS_MAX_SYMBOLS,
+    costas_track_pallas,
+)
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
 from ..ops.scramble import keystream
@@ -73,6 +77,11 @@ class RxConfig:
     # ZMQ monitoring taps, packet_receiver.hpp:159-189); off by default to
     # avoid the extra device->host traffic
     keep_payload_symbols: bool = False
+    # Costas loop backend: None = auto (Pallas VMEM-resident kernel on TPU,
+    # lax.scan elsewhere); True/False force. The Pallas kernel is loop-exact
+    # (bit-identical recursion, ops/costas_pallas.py) but ~2 orders of
+    # magnitude faster than the per-symbol scan on this backend.
+    use_pallas_costas: bool | None = None
 
     @property
     def max_payload_syms(self) -> int:
@@ -176,6 +185,21 @@ class Receiver:
         )
         acq_margin = C.SYNC_TIME_THRESHOLD + C.SYNC_FFT_SIZE
         return extraction + acq_margin
+
+    # ---------------------------------------------------------- carrier track
+
+    def _carrier_track(self, syms, phase0, freq0, offset: int):
+        """Loop-exact Costas tracking with the receiver's positional schedule
+        (PILOT 64 / QPSK-header 128 / QPSK-payload); dispatches to the Pallas
+        VMEM-resident kernel on TPU, the lax.scan elsewhere."""
+        cfg = self.config
+        use_pallas = cfg.use_pallas_costas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and syms.shape[-1] <= _PALLAS_MAX_SYMBOLS:
+            return costas_track_pallas(syms, phase0, freq0, offset=offset)
+        const_ids, k1, k2 = costas_segments(syms.shape[-1], offset=offset)
+        return costas_run(syms, phase0, freq0, const_ids, k1, k2)
 
     # ---------------------------------------------------------- symbol timing
 
@@ -300,9 +324,8 @@ class Receiver:
             [self._sync_bipolar, jnp.ones(C.HEADER_SYMBOLS, jnp.float32)]
         )
         syms = syms * wipe[None]
-        const_ids, k1, k2 = costas_segments(_HEADER_REGION_SYMS)
-        corrected, ph_end, fr_end = costas_run(
-            syms, phase0, jnp.zeros_like(phase0), const_ids, k1, k2
+        corrected, ph_end, fr_end = self._carrier_track(
+            syms, phase0, jnp.zeros_like(phase0), offset=0
         )
         hdr_syms = corrected[:, C.SYNCWORD_LEN :]  # [D, 128]
         llrs = jnp.stack(
@@ -429,11 +452,8 @@ class Receiver:
         if cfg.payload_carrier == "vv":
             corrected = self._vv_track(syms, hdr.phase, hdr.freq)
         else:
-            const_ids, k1, k2 = costas_segments(
-                s_pay, offset=_HEADER_REGION_SYMS
-            )
-            corrected, _, _ = costas_run(
-                syms, hdr.phase, hdr.freq, const_ids, k1, k2
+            corrected, _, _ = self._carrier_track(
+                syms, hdr.phase, hdr.freq, offset=_HEADER_REGION_SYMS
             )
         llrs = jnp.stack(
             [corrected.real, corrected.imag], axis=-1
