@@ -77,11 +77,12 @@ class RxConfig:
     # ZMQ monitoring taps, packet_receiver.hpp:159-189); off by default to
     # avoid the extra device->host traffic
     keep_payload_symbols: bool = False
-    # Costas loop backend: None = auto (Pallas VMEM-resident kernel on TPU,
-    # lax.scan elsewhere); True/False force. The Pallas kernel is loop-exact
-    # (bit-identical recursion, ops/costas_pallas.py) but ~2 orders of
-    # magnitude faster than the per-symbol scan on this backend.
-    use_pallas_costas: bool | None = None
+    # Pallas kernel backend for the sequential stages (Costas loop,
+    # ops/costas_pallas.py; LDPC BP decode, ops/ldpc_pallas.py): None = auto
+    # (Pallas VMEM-resident kernels on TPU, lax.scan elsewhere); True/False
+    # force. Both kernels are exact (bit-identical recursions), just without
+    # the per-iteration dispatch cost of the scans.
+    use_pallas: bool | None = None
 
     @property
     def max_payload_syms(self) -> int:
@@ -160,7 +161,9 @@ class Receiver:
             np.asarray(C.SYNCWORD) != 0, -1.0, 1.0
         ).astype(np.float32)
         self._llr_scale = np.float32(2.0 / C.LLR_NOISE_SIGMA**2)
-        self._decoder = ldpc.HeaderLdpcDecoder(config.ldpc_iterations)
+        self._decoder = ldpc.HeaderLdpcDecoder(
+            config.ldpc_iterations, use_pallas=config.use_pallas
+        )
         self._crc = make_crc32_engine(config.max_payload_len)
 
 
@@ -193,7 +196,7 @@ class Receiver:
         (PILOT 64 / QPSK-header 128 / QPSK-payload); dispatches to the Pallas
         VMEM-resident kernel on TPU, the lax.scan elsewhere."""
         cfg = self.config
-        use_pallas = cfg.use_pallas_costas
+        use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas and syms.shape[-1] <= _PALLAS_MAX_SYMBOLS:

@@ -88,9 +88,17 @@ def encode_header(header_bits: jax.Array) -> jax.Array:
 class HeaderLdpcDecoder:
     """Batched normalized-min-sum BP decoder for the (128,32) header code."""
 
-    def __init__(self, num_iterations: int = 25, normalization: float = 0.75):
+    def __init__(
+        self,
+        num_iterations: int = 25,
+        normalization: float = 0.75,
+        use_pallas: bool | None = None,
+    ):
         self.num_iterations = int(num_iterations)
         self.normalization = float(normalization)
+        # None = auto: the VMEM-resident Pallas kernel (ops/ldpc_pallas.py,
+        # all iterations in one program) on TPU, the lax.scan elsewhere
+        self.use_pallas = use_pallas
         h = load_parity_check()
         m, n = h.shape
         self.n = n
@@ -117,6 +125,16 @@ class HeaderLdpcDecoder:
         Returns ``(info_bits [B, 32] uint8, ok [B] bool)`` where ``ok`` is the
         parity-check success flag (failure -> invalid_header upstream).
         """
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from .ldpc_pallas import ldpc_totals_pallas
+
+            total = ldpc_totals_pallas(
+                llrs, self.num_iterations, self.normalization
+            )
+            return self._finish(llrs, total)
         vidx, vmask = jnp.asarray(self._vidx), jnp.asarray(self._vmask)
         alpha = jnp.float32(self.normalization)
         m, dmax = self._vidx.shape
@@ -178,7 +196,10 @@ class HeaderLdpcDecoder:
             sel_masked,
             preferred_element_type=jnp.float32,
         )
-        total = llrs + var_sum
+        return self._finish(llrs, llrs + var_sum)
+
+    def _finish(self, llrs, total):
+        """Hard decision + parity syndrome check on the final totals."""
         hard = (total < 0).astype(jnp.uint8)  # positive LLR -> bit 0
         syndrome = jnp.dot(
             hard.astype(jnp.float32),
