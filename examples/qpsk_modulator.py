@@ -8,6 +8,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+if os.environ.get("PM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -493,7 +493,9 @@ class Receiver:
             | (crc_rx_bytes[:, 2].astype(jnp.uint32) << 8)
             | crc_rx_bytes[:, 3].astype(jnp.uint32)
         )
-        crc_ok = crc == crc_rx
+        # mask by keep: suppressed/invalid detection slots hold garbage
+        # extractions and must not report a (coincidental) CRC pass
+        crc_ok = (crc == crc_rx) & keep
         accepted = (
             keep
             & hdr.header_ok

@@ -150,13 +150,19 @@ class SyncwordAcquirer:
         """Correlation powers via overlap-save FFT. x: [T] complex with
         T >= fft_size; returns complex correlations [nbins, T'] where
         T' = num_frames * stride."""
-        from ..utils.cplx import cgather
-
         n, s = self.config.fft_size, self.stride
         t = x.shape[0]
         nf = (t - n) // s + 1
-        idx = jnp.arange(nf)[:, None] * s + jnp.arange(n)[None, :]
-        frames = cgather(x, idx)  # [F, N]
+        # overlap-save framing without a gather: frame f = x[f*s : f*s+n]
+        # splits into a body [nf, s] reshape and the (n-s)-sample lookahead
+        # tail taken from a shifted reshape (n-s = sync_len-1 < s always)
+        body = x[: nf * s].reshape(nf, s)
+        pad = max(0, s + nf * s - t)
+        shifted = x[s:]
+        if pad:
+            shifted = jnp.concatenate([shifted, jnp.zeros(pad, x.dtype)])
+        tail = shifted[: nf * s].reshape(nf, s)[:, : n - s]
+        frames = jnp.concatenate([body, tail], axis=1)  # [F, N]
         f = jnp.fft.fft(frames, axis=-1)  # [F, N]
         rep = jax.lax.complex(
             jnp.zeros((self.num_bins, n), jnp.float32)
@@ -214,15 +220,30 @@ class SyncwordAcquirer:
         # exclude edges without full windows
         pos = jnp.arange(tlen)
         is_peak &= (pos >= w) & (pos < tlen - w)
-        # candidate selection (static top-k by power)
+        # candidate selection (static top-k by power). Window maxima are
+        # necessarily > w apart, so each w-sized chunk holds at most one
+        # peak: top_k runs over the ~T/w chunk maxima instead of the full
+        # sample axis (identical result, ~w x less sort work).
         d = cfg.max_detections
         cand_pow = jnp.where(is_peak, best_pow, -1.0)
-        top_pow, top_idx = jax.lax.top_k(cand_pow, d)
+        nch = tlen // w
+        if nch >= d:
+            chunks = cand_pow[: nch * w].reshape(nch, w)
+            cmax = jnp.max(chunks, axis=1)
+            cidx = (
+                jnp.argmax(chunks, axis=1).astype(jnp.int32)
+                + jnp.arange(nch, dtype=jnp.int32) * w
+            )
+            top_pow, tsel = jax.lax.top_k(cmax, d)
+            top_idx = cidx[tsel]
+        else:  # tiny buffers: fewer chunks than detection slots
+            cmax = cand_pow
+            top_pow, top_idx = jax.lax.top_k(cand_pow, d)
         cand_valid = top_pow > 0
         # saturation flag: more window-max peaks exist than detection slots
         # (the reference degrades via stream backpressure; here excess
         # candidates would silently vanish, so the condition is surfaced)
-        overflow = jnp.sum((cand_pow > 0).astype(jnp.int32)) > d
+        overflow = jnp.sum((cmax > 0).astype(jnp.int32)) > d
         # CFAR median-proxy test on gathered windows
         thr = top_pow / cfg.power_threshold
 

@@ -1,0 +1,38 @@
+"""Smoke-run the fast examples (each asserts its own behavior).
+
+Mirrors the role of the reference's examples/ build in CI — every example is
+a compiled-and-run artifact, not documentation-only code. Only the quick
+CPU-friendly ones run here; the slow full-chain demos (loopback, per_sweep,
+sharded_bank, streaming_blocks) are covered by the equivalent tests.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FAST_EXAMPLES = [
+    "crc.py",
+    "header_roundtrip.py",
+    "messages.py",
+    "minimal_flowgraph.py",
+    "packet_to_stream.py",
+    "pfb_arb_resampler.py",
+    "qpsk_modulator.py",
+]
+
+
+@pytest.mark.parametrize("name", FAST_EXAMPLES)
+def test_example_runs(name):
+    env = dict(os.environ, PM_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "examples", name)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, f"{name} failed:\n{out.stdout}\n{out.stderr}"
