@@ -65,6 +65,10 @@ class RxConfig:
     freq_bins: int = 4
     power_threshold: float = C.SYNC_POWER_THRESHOLD
     acquisition_backend: str = "fft"
+    # overlap-save FFT size for the fft backend (syncword_detection.hpp uses
+    # 2048; larger sizes trade fewer/bigger FFTs against overlap waste
+    # (sync_len-1)/fft_size — relevant knob on TPU, see docs/PERF_R2.md)
+    acquisition_fft_size: int = C.SYNC_FFT_SIZE
     num_pfb_arms: int = 32
     ldpc_iterations: int = 25
     symbol_chunk: int = 2048          # symbol-extraction chunk size
@@ -141,6 +145,7 @@ class Receiver:
         self.acquirer = SyncwordAcquirer(
             AcquisitionConfig(
                 samples_per_symbol=sps,
+                fft_size=config.acquisition_fft_size,
                 freq_bins=config.freq_bins,
                 power_threshold=config.power_threshold,
                 max_detections=config.max_detections,
@@ -186,7 +191,7 @@ class Receiver:
         extraction = (
             sps * (_HEADER_REGION_SYMS + cfg.max_payload_syms) + self.arm_len + 8
         )
-        acq_margin = C.SYNC_TIME_THRESHOLD + C.SYNC_FFT_SIZE
+        acq_margin = C.SYNC_TIME_THRESHOLD + self.acquirer.config.fft_size
         return extraction + acq_margin
 
     # ---------------------------------------------------------- carrier track

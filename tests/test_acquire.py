@@ -127,3 +127,35 @@ class TestDetection:
         assert np.asarray(det.valid)[0]
         esn0 = float(np.asarray(det.esn0_db)[0])
         assert 15.0 < esn0 < 35.0
+
+
+def test_fft_size_equivalence():
+    """Detections are invariant to the overlap-save FFT size (the frame
+    partitioning is an implementation detail of the correlation; fft 2048 is
+    the reference's choice, larger sizes are a TPU throughput knob)."""
+    x = _signal(cfo=0.003, offset=4000, total=1 << 15, noise=0.03)
+    base = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=4, fft_size=2048)
+    ).acquire(x)
+    for n in (4096, 8192):
+        alt = SyncwordAcquirer(
+            AcquisitionConfig(freq_bins=4, max_detections=4, fft_size=n)
+        ).acquire(x)
+        # correlation coverage length differs per fft size; compare the
+        # detection actually found
+        bi = int(np.argmax(np.asarray(base.valid)))
+        ai = int(np.argmax(np.asarray(alt.valid)))
+        assert bool(np.asarray(alt.valid)[ai])
+        assert int(np.asarray(alt.index)[ai]) == int(np.asarray(base.index)[bi])
+        np.testing.assert_allclose(
+            float(np.asarray(alt.freq)[ai]),
+            float(np.asarray(base.freq)[bi]), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(alt.amplitude)[ai]),
+            float(np.asarray(base.amplitude)[bi]), rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(alt.time_est)[ai]),
+            float(np.asarray(base.time_est)[bi]), atol=1e-4,
+        )
