@@ -15,12 +15,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if os.environ.get("PM_PLATFORM"):
-    # explicit platform override (the axon sitecustomize ignores
-    # JAX_PLATFORMS; this must be set via jax.config after import)
-    import jax
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
 
-    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+_pm_setup()  # PM_PLATFORM backend override + persistent compile cache
 
 from gr4_packet_modem_tpu.io.file import stream_c64_blocks
 from gr4_packet_modem_tpu.models.receiver import RxConfig
