@@ -64,7 +64,12 @@ class AcquisitionConfig:
     time_threshold: int = C.SYNC_TIME_THRESHOLD
     power_threshold: float = C.SYNC_POWER_THRESHOLD
     max_detections: int = 64  # static bound per processed block
-    backend: str = "fft"  # "fft" (overlap-save, as reference) or "conv" (MXU)
+    # correlation backend: "fft" (overlap-save, as reference), "conv" (the
+    # correlation as a real 2-plane convolution on the MXU, f32), or
+    # "conv_bf16" (same with bf16 inputs / f32 accumulation — 2x the MXU
+    # rate; detection-equivalent, estimates within ~1% — see
+    # tests/test_acquire.py::test_conv_bf16_equivalence)
+    backend: str = "fft"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -175,12 +180,12 @@ class SyncwordAcquirer:
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
 
-    def _correlate_conv(self, x: jax.Array) -> jax.Array:
+    def _correlate_conv(self, x: jax.Array, dtype=jnp.float32) -> jax.Array:
         """Correlation via MXU convolution. Returns [nbins, T-L+1] complex."""
-        xr = jnp.stack([x.real, x.imag], axis=-1)[None]  # [1, T, 2]
+        xr = jnp.stack([x.real, x.imag], axis=-1)[None].astype(dtype)
         out = jax.lax.conv_general_dilated(
             xr,
-            jnp.asarray(self._conv_kernel),
+            jnp.asarray(self._conv_kernel).astype(dtype),
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
@@ -192,6 +197,8 @@ class SyncwordAcquirer:
     def correlate(self, x: jax.Array) -> jax.Array:
         if self.config.backend == "fft":
             return self._correlate_fft(x)
+        if self.config.backend == "conv_bf16":
+            return self._correlate_conv(x, jnp.bfloat16)
         return self._correlate_conv(x)
 
     # -------------------------------------------------------------- detection

@@ -159,3 +159,33 @@ def test_fft_size_equivalence():
             float(np.asarray(alt.time_est)[ai]),
             float(np.asarray(base.time_est)[bi]), atol=1e-4,
         )
+
+
+def test_conv_bf16_equivalence():
+    """bf16 MXU correlation: same detections, estimates within ~1%."""
+    x = _signal(cfo=0.003, offset=4000, total=1 << 15, noise=0.03)
+    det32 = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=4, backend="conv")
+    ).acquire(x)
+    det16 = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=4, backend="conv_bf16")
+    ).acquire(x)
+    i32 = int(np.argmax(np.asarray(det32.valid)))
+    i16 = int(np.argmax(np.asarray(det16.valid)))
+    assert bool(np.asarray(det16.valid)[i16])
+    assert int(np.asarray(det16.index)[i16]) == int(np.asarray(det32.index)[i32])
+    assert int(np.asarray(det16.freq_bin)[i16]) == int(
+        np.asarray(det32.freq_bin)[i32]
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(det16.amplitude)[i16]),
+        float(np.asarray(det32.amplitude)[i32]), rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(det16.phase)[i16]),
+        float(np.asarray(det32.phase)[i32]), atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(det16.freq)[i16]),
+        float(np.asarray(det32.freq)[i32]), atol=2e-4,
+    )
