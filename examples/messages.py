@@ -14,7 +14,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 from gr4_packet_modem_tpu.runtime.flow import PacketCredit, ProbeRate, Throttle
 from gr4_packet_modem_tpu.runtime.messages import (

@@ -31,7 +31,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils import constants as C
 
 __all__ = ["ldpc_totals_pallas"]
 

@@ -58,7 +58,6 @@ def measure_bank(block_log2=18, ch_per_dev=8, iters=10):
 def measure_halo_overhead(block_log2=18, channels=8, iters=10):
     """Single-device rate with vs without the halo extension: the measured
     per-time-shard overhead a (ch x time) mesh pays."""
-    import jax.numpy as jnp
 
     from benchmarks.common import tiled_burst_signal
     from gr4_packet_modem_tpu.models.receiver import Receiver, RxConfig
