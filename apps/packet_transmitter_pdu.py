@@ -24,9 +24,11 @@ from gr4_packet_modem_tpu.runtime.streaming import StreamingTransmitter
 
 
 def main():
-    if len(sys.argv) < 2:
+    # positional argv parsing mirrors the reference apps; still honor -h and
+    # refuse option-looking output paths (a stray "--help" is not a file)
+    if len(sys.argv) < 2 or sys.argv[1].startswith("-"):
         print(__doc__)
-        sys.exit(1)
+        sys.exit(0 if sys.argv[1:2] in (["-h"], ["--help"]) else 1)
     out_file = sys.argv[1]
     stream_mode = (sys.argv[2] if len(sys.argv) > 2 else "burst") == "stream"
     packet_len = int(sys.argv[3]) if len(sys.argv) > 3 else 1500

@@ -26,6 +26,9 @@ from gr4_packet_modem_tpu.runtime.streaming import StreamingTransmitter
 
 
 def main():
+    if sys.argv[1:2] in (["-h"], ["--help"]):
+        print(__doc__)
+        sys.exit(0)
     stream_mode = (sys.argv[1] if len(sys.argv) > 1 else "burst") == "stream"
     samp_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 3.2e6
 

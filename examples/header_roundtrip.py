@@ -12,10 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
 
-if os.environ.get("PM_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
+_pm_setup()  # PM_PLATFORM backend override + persistent compile cache
 
 import numpy as np
 import jax.numpy as jnp

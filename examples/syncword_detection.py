@@ -11,11 +11,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
+
+_pm_setup()  # PM_PLATFORM backend override + persistent compile cache
+
 import jax
-
-if os.environ.get("PM_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
-
 import numpy as np
 
 from gr4_packet_modem_tpu.models.channel import awgn, rotate

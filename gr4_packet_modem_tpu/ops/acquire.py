@@ -118,8 +118,13 @@ class SyncwordAcquirer:
         )
         self.replicas = (replica[None, :] * shift).astype(np.complex64)  # [nb, L]
         n = config.fft_size
-        if self.sync_len > n:
-            raise ValueError("fft_size too small for the syncword replica")
+        # the gather-free overlap-save framing needs the (sync_len-1)-sample
+        # frame lookahead to fit inside one stride: n - s <= s
+        if n < 2 * (self.sync_len - 1):
+            raise ValueError(
+                f"fft_size must be >= {2 * (self.sync_len - 1)} "
+                f"(2*(sync_len-1)) for the overlap-save framing"
+            )
         self.stride = n - self.sync_len + 1
         # the replica FFTs are computed on-device inside the jit (from the
         # small [nb, sync_len] replica literal) — embedding the [nb, N]

@@ -132,9 +132,13 @@ class HeaderLdpcDecoder:
             from .ldpc_pallas import ldpc_totals_pallas
 
             total = ldpc_totals_pallas(
-                llrs, self.num_iterations, self.normalization
+                llrs,
+                self.num_iterations,
+                self.normalization,
+                # forced-on off-TPU (tests) runs the kernel interpreter
+                interpret=jax.default_backend() != "tpu",
             )
-            return self._finish(llrs, total)
+            return self._finish(total)
         vidx, vmask = jnp.asarray(self._vidx), jnp.asarray(self._vmask)
         alpha = jnp.float32(self.normalization)
         m, dmax = self._vidx.shape
@@ -196,9 +200,9 @@ class HeaderLdpcDecoder:
             sel_masked,
             preferred_element_type=jnp.float32,
         )
-        return self._finish(llrs, llrs + var_sum)
+        return self._finish(llrs + var_sum)
 
-    def _finish(self, llrs, total):
+    def _finish(self, total):
         """Hard decision + parity syndrome check on the final totals."""
         hard = (total < 0).astype(jnp.uint8)  # positive LLR -> bit 0
         syndrome = jnp.dot(

@@ -26,12 +26,9 @@ import numpy as np
 
 import jax
 
-if os.environ.get("PM_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
-cache = os.environ.get("JAX_CACHE_DIR", "/tmp/pm_jax_cache")
-if cache:
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
+
+_pm_setup()
 
 
 def main():

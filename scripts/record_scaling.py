@@ -31,11 +31,9 @@ import numpy as np
 
 import jax
 
-if os.environ.get("PM_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["PM_PLATFORM"])
-cache = os.environ.get("JAX_CACHE_DIR", "/tmp/pm_jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
+
+_pm_setup()
 
 
 def measure_bank(block_log2=18, ch_per_dev=8, iters=10):
@@ -154,7 +152,7 @@ def main():
         "num_devices": len(jax.devices()),
     }
     record["bank"] = [
-        {k: (round(v, 1) if isinstance(v, float) else v) for k, v in r.items()}
+        {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}
         for r in measure_bank()
     ]
     record["halo_overhead"] = measure_halo_overhead()

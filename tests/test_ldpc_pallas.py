@@ -40,16 +40,19 @@ def test_pallas_ldpc_matches_scan(snr_db):
 
 
 def test_decoder_dispatch_flag():
-    """use_pallas=True routes through the kernel (interpret off-TPU would
-    fail shape-compat silently if the wiring broke, so force + compare)."""
+    """use_pallas=True routes decode() through the kernel (off-TPU the
+    dispatch falls back to the kernel interpreter, so the full wiring —
+    argument order included — is exercised here)."""
     rng = np.random.default_rng(3)
     bits = rng.integers(0, 2, (8, 32), dtype=np.uint8)
     cw = np.asarray(ldpc.encode_header(jnp.asarray(bits)))[:, :128]
     llr = 8.0 * (1.0 - 2.0 * cw.astype(np.float32))
+    llr += 1.5 * rng.standard_normal(llr.shape).astype(np.float32)
     ref_bits, ref_ok = ldpc.HeaderLdpcDecoder(25, use_pallas=False).decode(
         jnp.asarray(llr)
     )
-    total = ldpc_totals_pallas(jnp.asarray(llr), 25, interpret=True)
-    hard = (np.asarray(total) < 0).astype(np.uint8)[:, :32]
-    np.testing.assert_array_equal(hard, np.asarray(ref_bits))
-    assert np.asarray(ref_ok).all()
+    pal_bits, pal_ok = ldpc.HeaderLdpcDecoder(25, use_pallas=True).decode(
+        jnp.asarray(llr)
+    )
+    np.testing.assert_array_equal(np.asarray(pal_bits), np.asarray(ref_bits))
+    np.testing.assert_array_equal(np.asarray(pal_ok), np.asarray(ref_ok))
