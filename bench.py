@@ -45,6 +45,9 @@ def main():
     # tests/test_per_snr.py::test_vv_costas_per_parity); set
     # BENCH_CARRIER=costas for the loop-exact reference behavior
     carrier = os.environ.get("BENCH_CARRIER", "vv")
+    # acquisition backend: fused (Pallas, VMEM-resident per-bin iFFT+power),
+    # fft (reference overlap-save), conv (MXU convolution)
+    acq_backend = os.environ.get("BENCH_ACQ", "fft")
     payload_len = 1500
 
     # --- build one block of continuous 1500B bursts per channel
@@ -80,6 +83,7 @@ def main():
             max_detections=max_det,
             freq_bins=4,
             payload_carrier=carrier,
+                acquisition_backend=acq_backend,
         )
     )
     fp, pt = rx.front_pad, rx.pad_tail()
@@ -128,6 +132,7 @@ def main():
                 max_detections=max_det,
                 freq_bins=4,
                 payload_carrier=carrier,
+                acquisition_backend=acq_backend,
             ),
             block=block,
         )
@@ -150,6 +155,7 @@ def main():
         "channels": channels,
         "block": block,
         "carrier": carrier,
+        "acq_backend": acq_backend,
         "sustained_stream_sps": float(f"{sustained:.4g}"),
         "max_detections": max_det,
         "decoded_packet_frac": round(decoded_frac, 4),

@@ -156,34 +156,97 @@ class SyncwordAcquirer:
 
     # ------------------------------------------------------------ correlation
 
-    def _correlate_fft(self, x: jax.Array) -> jax.Array:
-        """Correlation powers via overlap-save FFT. x: [T] complex with
-        T >= fft_size; returns complex correlations [nbins, T'] where
-        T' = num_frames * stride."""
+    def _frames(self, x: jax.Array) -> jax.Array:
+        """Overlap-save frames [F, N] without a gather: frame f =
+        x[f*s : f*s+n] splits into a body [nf, s] reshape and the
+        (n-s)-sample lookahead tail taken from a shifted reshape
+        (n-s = sync_len-1 <= s enforced by the constructor)."""
         n, s = self.config.fft_size, self.stride
         t = x.shape[0]
         nf = (t - n) // s + 1
-        # overlap-save framing without a gather: frame f = x[f*s : f*s+n]
-        # splits into a body [nf, s] reshape and the (n-s)-sample lookahead
-        # tail taken from a shifted reshape (n-s = sync_len-1 < s always)
         body = x[: nf * s].reshape(nf, s)
         pad = max(0, s + nf * s - t)
         shifted = x[s:]
         if pad:
             shifted = jnp.concatenate([shifted, jnp.zeros(pad, x.dtype)])
         tail = shifted[: nf * s].reshape(nf, s)[:, : n - s]
-        frames = jnp.concatenate([body, tail], axis=1)  # [F, N]
-        f = jnp.fft.fft(frames, axis=-1)  # [F, N]
+        return jnp.concatenate([body, tail], axis=1)  # [F, N]
+
+    def _replica_fft_conj(self) -> tuple[jax.Array, jax.Array]:
+        """conj(FFT(zero-padded replicas)) as I/Q planes [nb, N], computed
+        on-device from the small replica literal (embedding the full table
+        bloats the HLO; complex constants cannot be device-transferred)."""
+        n = self.config.fft_size
         rep = jax.lax.complex(
             jnp.zeros((self.num_bins, n), jnp.float32)
             .at[:, : self.sync_len].set(self.replicas.real),
             jnp.zeros((self.num_bins, n), jnp.float32)
             .at[:, : self.sync_len].set(self.replicas.imag),
         )
-        replica_fft_conj = jnp.conj(jnp.fft.fft(rep, axis=-1))
+        rf = jnp.conj(jnp.fft.fft(rep, axis=-1))
+        return rf.real, rf.imag
+
+    def _correlate_fft(self, x: jax.Array) -> jax.Array:
+        """Correlation powers via overlap-save FFT. x: [T] complex with
+        T >= fft_size; returns complex correlations [nbins, T'] where
+        T' = num_frames * stride."""
+        n, s = self.config.fft_size, self.stride
+        frames = self._frames(x)
+        nf = frames.shape[0]
+        f = jnp.fft.fft(frames, axis=-1)  # [F, N]
+        rfr, rfi = self._replica_fft_conj()
+        replica_fft_conj = jax.lax.complex(rfr, rfi)
         prod = f[:, None, :] * replica_fft_conj[None]  # [F, nb, N]
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
+
+    def _best_power_fused(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """best-bin power/bin per sample via the fused Pallas correlator
+        (ops/acquire_pallas.py): per-bin product+iFFT+power never leave
+        VMEM. Returns (best_pow [T'], best_bin [T'])."""
+        from .acquire_pallas import fused_best_power
+
+        s = self.stride
+        frames = self._frames(x)
+        rfr, rfi = self._replica_fft_conj()
+        bp, bb = fused_best_power(
+            frames, rfr, rfi, self.config.fft_size,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return bp[:, :s].reshape(-1), bb[:, :s].reshape(-1)
+
+    def _corr_points(
+        self, x: jax.Array, bins: jax.Array, times: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Exact correlation values at candidate points by direct dots:
+        corr[b, t] = sum_k conj(rep[b, k]) x[t+k], evaluated for bins
+        {b-1, b, b+1} at each point. Returns (re [D], im [D] at the centre
+        bin, powers [D, 3])."""
+        ll = self.sync_len
+        nb = self.num_bins
+        tc = jnp.clip(times, 0, x.shape[0] - ll)
+        wr = jax.vmap(
+            lambda t: jax.lax.dynamic_slice(x.real, (t,), (ll,))
+        )(tc)  # [D, L]
+        wi = jax.vmap(
+            lambda t: jax.lax.dynamic_slice(x.imag, (t,), (ll,))
+        )(tc)
+        b3 = jnp.stack(
+            [jnp.maximum(bins - 1, 0), bins, jnp.minimum(bins + 1, nb - 1)],
+            axis=-1,
+        )  # [D, 3]
+        onehot = jax.nn.one_hot(b3, nb, dtype=jnp.float32)  # [D, 3, nb]
+        rr = jnp.einsum(
+            "dbn,nl->dbl", onehot, jnp.asarray(self.replicas.real),
+            preferred_element_type=jnp.float32,
+        )
+        ri = jnp.einsum(
+            "dbn,nl->dbl", onehot, jnp.asarray(self.replicas.imag),
+            preferred_element_type=jnp.float32,
+        )
+        cr = jnp.sum(wr[:, None] * rr + wi[:, None] * ri, axis=-1)  # [D, 3]
+        ci = jnp.sum(wi[:, None] * rr - wr[:, None] * ri, axis=-1)
+        return cr[:, 1], ci[:, 1], cr * cr + ci * ci
 
     def _correlate_conv(self, x: jax.Array, dtype=jnp.float32) -> jax.Array:
         """Correlation via MXU convolution. Returns [nbins, T-L+1] complex."""
@@ -220,10 +283,14 @@ class SyncwordAcquirer:
         """
         cfg = self.config
         w = cfg.time_threshold
-        corr = self.correlate(x)  # [nb, T']
-        power = jnp.abs(corr) ** 2  # [nb, T']
-        best_pow = jnp.max(power, axis=0)  # [T']
-        best_bin = jnp.argmax(power, axis=0).astype(jnp.int32)
+        if cfg.backend == "fused":
+            best_pow, best_bin_flat = self._best_power_fused(x)
+            corr = power = None
+        else:
+            corr = self.correlate(x)  # [nb, T']
+            power = jnp.abs(corr) ** 2  # [nb, T']
+            best_pow = jnp.max(power, axis=0)  # [T']
+            best_bin = jnp.argmax(power, axis=0).astype(jnp.int32)
         tlen = best_pow.shape[0]
         # sliding-window maxima (centered, width 2w+1) and strict previous max
         wmax = _sliding_max(best_pow, w, w)
@@ -270,10 +337,19 @@ class SyncwordAcquirer:
         nb = self.num_bins
         bin_spacing = np.float32(np.pi / self.sync_len)
         ti = top_idx
-        bi = best_bin[ti]
         b = top_pow
-        p_left = power[jnp.maximum(bi - 1, 0), ti]
-        p_right = power[jnp.minimum(bi + 1, nb - 1), ti]
+        if cfg.backend == "fused":
+            # the kernel reduces to best-bin power only; adjacent-bin powers
+            # and the complex value at the peak are recomputed exactly at
+            # the <= D candidate points by direct correlation
+            bi = best_bin_flat[ti]
+            cr_pt, ci_pt, p3 = self._corr_points(x, bi, ti)
+            p_left, p_right = p3[:, 0], p3[:, 2]
+            phase_raw = jnp.arctan2(ci_pt, cr_pt)
+        else:
+            bi = best_bin[ti]
+            p_left = power[jnp.maximum(bi - 1, 0), ti]
+            p_right = power[jnp.minimum(bi + 1, nb - 1), ti]
         interior = (bi > 0) & (bi < nb - 1)
         denom_f = 2.0 * (2.0 * b - (p_left + p_right))
         quad = jnp.clip(
@@ -281,10 +357,11 @@ class SyncwordAcquirer:
         )
         delta_freq = jnp.where(interior, quad * bin_spacing, 0.0)
         freq = (bi - cfg.freq_bins).astype(jnp.float32) * bin_spacing + delta_freq
-        from ..utils.cplx import cgather
+        if cfg.backend != "fused":
+            from ..utils.cplx import cgather
 
-        phase = jnp.angle(cgather(corr, bi, ti))
-        phase = phase - delta_freq * 0.5 * np.float32(self.sync_len)
+            phase_raw = jnp.angle(cgather(corr, bi, ti))
+        phase = phase_raw - delta_freq * 0.5 * np.float32(self.sync_len)
         phase = jnp.where(phase >= np.pi, phase - 2 * np.pi, phase)
         phase = jnp.where(phase < -np.pi, phase + 2 * np.pi, phase)
         # power peak interpolation: b + (c-a)^2 / (16 (b - (a+c)/2))

@@ -1,0 +1,85 @@
+"""Fused Pallas correlator backend vs the reference fft backend
+(ops/acquire_pallas.py): identical detections and near-identical estimates.
+
+The fused backend reduces to best-bin power inside the kernel and recomputes
+phase/adjacent-bin powers exactly at the detected points by direct
+correlation, so estimates match the fft backend to f32 matmul accuracy.
+Runs in interpret mode on the CPU backend.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gr4_packet_modem_tpu.models.channel import awgn, rotate
+from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
+from gr4_packet_modem_tpu.ops.acquire import AcquisitionConfig, SyncwordAcquirer
+from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
+
+
+def _multi_burst_signal(total=1 << 15, cfo=0.004, noise=0.05):
+    tx = Transmitter(TxConfig(max_payload_len=64))
+    rng = np.random.default_rng(3)
+    payloads = [rng.integers(0, 256, n, dtype=np.uint8) for n in (40, 64, 25)]
+    batch = PacketBatch.from_list(payloads, max_len=64)
+    s, l = tx.modulate_bursts(batch)
+    stream, _ = ragged_concat(s, l, int(np.asarray(l).sum()))
+    x = np.zeros(total, np.complex64)
+    st = np.asarray(stream)
+    x[2000 : 2000 + st.size] = st
+    xj = rotate(jnp.asarray(x), cfo)
+    return awgn(jax.random.PRNGKey(1), xj, noise)
+
+
+def test_fused_matches_fft_best_power():
+    rng = np.random.default_rng(0)
+    t = 1 << 14
+    x = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(
+        np.complex64
+    )
+    a_fft = SyncwordAcquirer(AcquisitionConfig(freq_bins=4, max_detections=8))
+    a_fus = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=8, backend="fused")
+    )
+    p = jnp.abs(a_fft.correlate(jnp.asarray(x))) ** 2
+    bp_ref = np.asarray(jnp.max(p, axis=0))
+    bb_ref = np.asarray(jnp.argmax(p, axis=0))
+    bp, bb = a_fus._best_power_fused(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(bp), bp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bb), bb_ref)
+
+
+def test_fused_acquire_detections_match():
+    x = _multi_burst_signal()
+    det_ref = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=8)
+    ).acquire(x)
+    det = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=8, backend="fused")
+    ).acquire(x)
+    vref = np.asarray(det_ref.valid)
+    v = np.asarray(det.valid)
+    assert vref.sum() == 3  # all three bursts found by the reference backend
+    np.testing.assert_array_equal(v, vref)
+    m = vref
+    np.testing.assert_array_equal(
+        np.asarray(det.index)[m], np.asarray(det_ref.index)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det.freq_bin)[m], np.asarray(det_ref.freq_bin)[m]
+    )
+    for field, tol in [
+        ("amplitude", 1e-3),
+        ("phase", 1e-3),
+        ("freq", 1e-6),
+        ("time_est", 1e-3),
+        ("esn0_db", 1e-2),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(det, field))[m],
+            np.asarray(getattr(det_ref, field))[m],
+            rtol=2e-3,
+            atol=tol,
+            err_msg=field,
+        )
