@@ -127,3 +127,27 @@ def test_loopback_burst_vv_carrier(cfo):
     assert len(got) == len(PAYLOADS)
     for g, e in zip(got, PAYLOADS):
         np.testing.assert_array_equal(g, e)
+
+
+def test_loopback_burst_fused_acquisition():
+    """Byte-exact decode with the fused Pallas acquisition backend
+    (ops/acquire_pallas.py) — end-to-end equivalence beyond the
+    detection-level tests in test_acquire_fused.py."""
+    payloads = PAYLOADS[:6]
+    stream = _tx_burst(payloads, 1536)
+    x = awgn(jax.random.PRNGKey(5), rotate(stream, 0.006), NOISE_AMPLITUDE)
+    rx = Receiver(
+        RxConfig(
+            max_payload_len=1536,
+            max_detections=16,
+            acquisition_backend="fused",
+        )
+    )
+    res = rx.receive(np.asarray(x))
+    acc = np.asarray(res.accepted)
+    lens = np.asarray(res.lengths)
+    data = np.asarray(res.data)
+    got = [data[i, : lens[i]] for i in range(len(acc)) if acc[i]]
+    assert len(got) == len(payloads)
+    for g, e in zip(got, payloads):
+        np.testing.assert_array_equal(g, e)
