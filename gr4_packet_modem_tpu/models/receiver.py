@@ -46,6 +46,7 @@ from ..ops.costas_pallas import (
     PALLAS_MAX_SYMBOLS as _PALLAS_MAX_SYMBOLS,
     costas_track_pallas,
 )
+from ..ops.fetch_pallas import fetch_regions
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
 from ..ops.scramble import keystream
@@ -205,7 +206,11 @@ class Receiver:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas and syms.shape[-1] <= _PALLAS_MAX_SYMBOLS:
-            return costas_track_pallas(syms, phase0, freq0, offset=offset)
+            return costas_track_pallas(
+                syms, phase0, freq0, offset=offset,
+                # forced-on off-TPU (tests) runs the kernel interpreter
+                interpret=jax.default_backend() != "tpu",
+            )
         const_ids, k1, k2 = costas_segments(syms.shape[-1], offset=offset)
         return costas_run(syms, phase0, freq0, const_ids, k1, k2)
 
@@ -265,20 +270,32 @@ class Receiver:
         # I/Q planes: kernel[k, 0, g] with groups ordered [I x D, Q x D]
         kern = jnp.tile(arm_taps[:, ::-1].T[:, None, :], (1, 1, 2))  # [K,1,2D]
 
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
         def one_chunk(c):
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
-            # per-detection contiguous regions via vmapped dynamic slices:
-            # XLA lowers these to row-slice DMAs. (A 2-D index-matrix gather
-            # of the same windows runs ~20x slower on this backend — it
-            # serializes element-wise; measured 104 ms vs 6 ms for the
-            # payload pass at D=32, S=6160, 8 channels.)
             start_c = jnp.clip(start, 0, x.shape[0] - region_len)
-            rr = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(xr, (s,), (region_len,))
-            )(start_c)  # [D, region_len]
-            ri = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(xi, (s,), (region_len,))
-            )(start_c)
+            if use_pallas:
+                # scalar-prefetch DMA fetch (ops/fetch_pallas.py): one
+                # vector->scalar readback for the whole start array instead
+                # of one stall per slice
+                rr, ri = fetch_regions(
+                    xr, xi, start_c, region_len,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                # per-detection contiguous regions via vmapped dynamic
+                # slices: XLA lowers these to row-slice DMAs. (A 2-D
+                # index-matrix gather of the same windows runs ~20x slower
+                # on this backend — it serializes element-wise.)
+                rr = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(xr, (s,), (region_len,))
+                )(start_c)  # [D, region_len]
+                ri = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(xi, (s,), (region_len,))
+                )(start_c)
             start = start_c
             # derotate the region by exp(-i freq (n - n0))
             j = jnp.arange(region_len, dtype=jnp.int32)[None, :]

@@ -225,12 +225,17 @@ class SyncwordAcquirer:
         ll = self.sync_len
         nb = self.num_bins
         tc = jnp.clip(times, 0, x.shape[0] - ll)
-        wr = jax.vmap(
-            lambda t: jax.lax.dynamic_slice(x.real, (t,), (ll,))
-        )(tc)  # [D, L]
-        wi = jax.vmap(
-            lambda t: jax.lax.dynamic_slice(x.imag, (t,), (ll,))
-        )(tc)
+        if jax.default_backend() == "tpu":
+            from .fetch_pallas import fetch_regions
+
+            wr, wi = fetch_regions(x.real, x.imag, tc, ll)  # [D, L]
+        else:
+            wr = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.real, (t,), (ll,))
+            )(tc)  # [D, L]
+            wi = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.imag, (t,), (ll,))
+            )(tc)
         b3 = jnp.stack(
             [jnp.maximum(bins - 1, 0), bins, jnp.minimum(bins + 1, nb - 1)],
             axis=-1,
@@ -325,12 +330,22 @@ class SyncwordAcquirer:
         overflow = jnp.sum((cmax > 0).astype(jnp.int32)) > d
         # CFAR median-proxy test on gathered windows
         thr = top_pow / cfg.power_threshold
+        win_lo = jnp.maximum(top_idx, w) - w
+        if jax.default_backend() == "tpu":
+            from .fetch_pallas import fetch_regions
 
-        def below_count(i, th):
-            win = jax.lax.dynamic_slice(best_pow, (i - w,), (2 * w + 1,))
-            return jnp.sum((win < th).astype(jnp.int32))
+            wins, _ = fetch_regions(
+                best_pow, best_pow, jnp.clip(win_lo, 0, tlen - (2 * w + 1)),
+                2 * w + 1,
+            )
+            below = jnp.sum((wins < thr[:, None]).astype(jnp.int32), axis=-1)
+        else:
 
-        below = jax.vmap(below_count)(jnp.maximum(top_idx, w), thr)
+            def below_count(i, th):
+                win = jax.lax.dynamic_slice(best_pow, (i,), (2 * w + 1,))
+                return jnp.sum((win < th).astype(jnp.int32))
+
+            below = jax.vmap(below_count)(win_lo, thr)
         hist_size = 2 * w + 1
         cand_valid &= 2 * below >= hist_size
         # ---------------- parameter estimation at candidates

@@ -151,3 +151,25 @@ def test_loopback_burst_fused_acquisition():
     assert len(got) == len(payloads)
     for g, e in zip(got, payloads):
         np.testing.assert_array_equal(g, e)
+
+
+def test_loopback_forced_pallas_kernels():
+    """use_pallas=True exercises every Pallas kernel dispatch (Costas, LDPC,
+    region fetch) end to end via the kernel interpreter on CPU."""
+    payloads = [(np.arange(n) % 256).astype(np.uint8) for n in (40, 120)]
+    tx = Transmitter(TxConfig(max_payload_len=128))
+    batch = PacketBatch.from_list(payloads, max_len=128)
+    samples, slens = tx.modulate_bursts(batch)
+    stream, _ = ragged_concat(samples, slens, int(np.sum(np.asarray(slens))))
+    x = awgn(jax.random.PRNGKey(1), rotate(stream, 0.004), NOISE_AMPLITUDE)
+    rx = Receiver(
+        RxConfig(max_payload_len=128, max_detections=4, use_pallas=True)
+    )
+    res = rx.receive(np.asarray(x))
+    acc = np.asarray(res.accepted)
+    data = np.asarray(res.data)
+    lens = np.asarray(res.lengths)
+    got = [data[i, : lens[i]] for i in range(len(acc)) if acc[i]]
+    assert len(got) == len(payloads)
+    for g, e in zip(got, payloads):
+        np.testing.assert_array_equal(g, e)
