@@ -8,6 +8,7 @@ Runs in interpret mode on the CPU backend.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,15 +33,20 @@ def _multi_burst_signal(total=1 << 15, cfo=0.004, noise=0.05):
     return awgn(jax.random.PRNGKey(1), xj, noise)
 
 
-def test_fused_matches_fft_best_power():
+@pytest.mark.parametrize("fft_size", [2048, 4096])
+def test_fused_matches_fft_best_power(fft_size):
     rng = np.random.default_rng(0)
     t = 1 << 14
     x = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(
         np.complex64
     )
-    a_fft = SyncwordAcquirer(AcquisitionConfig(freq_bins=4, max_detections=8))
+    a_fft = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=8, fft_size=fft_size)
+    )
     a_fus = SyncwordAcquirer(
-        AcquisitionConfig(freq_bins=4, max_detections=8, backend="fused")
+        AcquisitionConfig(
+            freq_bins=4, max_detections=8, backend="fused", fft_size=fft_size
+        )
     )
     p = jnp.abs(a_fft.correlate(jnp.asarray(x))) ** 2
     bp_ref = np.asarray(jnp.max(p, axis=0))
