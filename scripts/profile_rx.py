@@ -57,6 +57,8 @@ def main():
     stream = to_host(stream)
     signal = np.tile(stream, block // stream.size + 1)[:block]
 
+    acq_backend = os.environ.get("BENCH_ACQ", "fft")
+
     def build(carrier):
         return Receiver(
             RxConfig(
@@ -64,6 +66,7 @@ def main():
                 max_detections=32,
                 freq_bins=4,
                 payload_carrier=carrier,
+                acquisition_backend=acq_backend,
             )
         )
 
