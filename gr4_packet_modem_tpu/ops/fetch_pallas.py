@@ -55,8 +55,8 @@ def fetch_regions(
         num_scalar_prefetch=1,
         grid=(d,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, region_len), lambda i, s: (i, 0)),
