@@ -46,7 +46,7 @@ from ..ops.costas_pallas import (
     PALLAS_MAX_SYMBOLS as _PALLAS_MAX_SYMBOLS,
     costas_track_pallas,
 )
-from ..ops.fetch_pallas import fetch_regions
+from ..ops.fetch_pallas import fetch_enabled, fetch_regions
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
 from ..ops.scramble import keystream
@@ -273,11 +273,14 @@ class Receiver:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        use_fetch = use_pallas and (
+            fetch_enabled() or jax.default_backend() != "tpu"
+        )
 
         def one_chunk(c):
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
             start_c = jnp.clip(start, 0, x.shape[0] - region_len)
-            if use_pallas:
+            if use_fetch:
                 # scalar-prefetch DMA fetch (ops/fetch_pallas.py): one
                 # vector->scalar readback for the whole start array instead
                 # of one stall per slice

@@ -225,9 +225,9 @@ class SyncwordAcquirer:
         ll = self.sync_len
         nb = self.num_bins
         tc = jnp.clip(times, 0, x.shape[0] - ll)
-        if jax.default_backend() == "tpu":
-            from .fetch_pallas import fetch_regions
+        from .fetch_pallas import fetch_enabled, fetch_regions
 
+        if jax.default_backend() == "tpu" and fetch_enabled():
             wr, wi = fetch_regions(x.real, x.imag, tc, ll)  # [D, L]
         else:
             wr = jax.vmap(
@@ -331,9 +331,9 @@ class SyncwordAcquirer:
         # CFAR median-proxy test on gathered windows
         thr = top_pow / cfg.power_threshold
         win_lo = jnp.maximum(top_idx, w) - w
-        if jax.default_backend() == "tpu":
-            from .fetch_pallas import fetch_regions
+        from .fetch_pallas import fetch_enabled, fetch_regions
 
+        if jax.default_backend() == "tpu" and fetch_enabled():
             wins, _ = fetch_regions(
                 best_pow, best_pow, jnp.clip(win_lo, 0, tlen - (2 * w + 1)),
                 2 * w + 1,

@@ -125,10 +125,13 @@ def fused_best_power(
     fpad = -(-f // bf) * bf
 
     y = jnp.fft.fft(frames, axis=-1)  # [F, N] natural order
-    # k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, F, k2]
-    y2 = y.reshape(f, n2, _N1).transpose(2, 0, 1)  # [16, F, N2]
-    y2r = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2.real)
-    y2i = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2.imag)
+    # k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, F, k2].
+    # planes split BEFORE the transpose: complex transposes hit
+    # UNIMPLEMENTED paths on this backend (see CLAUDE.md)
+    y2r_n = y.real.reshape(f, n2, _N1).transpose(2, 0, 1)  # [16, F, N2]
+    y2i_n = y.imag.reshape(f, n2, _N1).transpose(2, 0, 1)
+    y2r = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2r_n)
+    y2i = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2i_n)
 
     rep2r = replica_fft_conj_r.reshape(nb, n2, _N1).transpose(0, 2, 1)[
         :, :, None, :

@@ -14,6 +14,7 @@ The caller clips starts to [0, T - R]; derotation/filtering stay in XLA
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,7 +22,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fetch_regions"]
+__all__ = ["fetch_regions", "fetch_enabled"]
+
+
+def fetch_enabled() -> bool:
+    """Manual-DMA kernels cannot be built by this environment's *chipless*
+    remote AOT compiler (tpu_compile_helper exits 1 on make_async_copy
+    kernels), so the fetch path is opt-in: set PM_PALLAS_FETCH=1 on
+    deployments whose compiler has device context."""
+    return os.environ.get("PM_PALLAS_FETCH", "0") == "1"
 
 
 def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):
@@ -29,10 +38,10 @@ def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):
     s0 = starts_ref[d]
     r = outr_ref.shape[-1]
     cr = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(s0, r)], outr_ref.at[0], semr
+        xr_hbm.at[pl.ds(s0, r)], outr_ref.at[0, 0], semr
     )
     ci = pltpu.make_async_copy(
-        xi_hbm.at[pl.ds(s0, r)], outi_ref.at[0], semi
+        xi_hbm.at[pl.ds(s0, r)], outi_ref.at[0, 0], semi
     )
     cr.start()
     ci.start()
@@ -51,28 +60,33 @@ def fetch_regions(
     """Fetch ``[D, region_len]`` I/Q planes at ``starts`` (int32 ``[D]``,
     pre-clipped to ``[0, T - region_len]``)."""
     d = starts.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # TPU blocks need a 128-divisible trailing dim; regions are padded and
+    # the input extended so the padded tail never reads out of bounds
+    rpad = -(-region_len // 128) * 128
+    if rpad != region_len:
+        ext = jnp.zeros(rpad - region_len, xr.dtype)
+        xr = jnp.concatenate([xr, ext])
+        xi = jnp.concatenate([xi, ext])
+    outr, outi = pl.pallas_call(
+        _kernel,
         grid=(d,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, region_len), lambda i, s: (i, 0)),
-            pl.BlockSpec((1, region_len), lambda i, s: (i, 0)),
+            pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )
-    return pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((d, region_len), jnp.float32),
-            jax.ShapeDtypeStruct((d, region_len), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
         ),
         interpret=interpret,
     )(starts.astype(jnp.int32), xr, xi)
+    return outr[:, 0, :region_len], outi[:, 0, :region_len]
