@@ -47,7 +47,7 @@ def main():
     carrier = os.environ.get("BENCH_CARRIER", "vv")
     # acquisition backend: fused (Pallas, VMEM-resident per-bin iFFT+power),
     # fft (reference overlap-save), conv (MXU convolution)
-    acq_backend = os.environ.get("BENCH_ACQ", "fft")
+    acq_backend = os.environ.get("BENCH_ACQ", "fused")
     payload_len = 1500
 
     # --- build one block of continuous 1500B bursts per channel
