@@ -135,6 +135,13 @@ def main():
                 acquisition_backend=acq_backend,
             ),
             block=block,
+            # the dev tunnel moves ~17 MB/s h2d; bf16 transfer planes halve
+            # the wire cost (BENCH_XFER=f32 for exact transfers)
+            transfer_dtype=(
+                jnp.bfloat16
+                if os.environ.get("BENCH_XFER", "bf16") == "bf16"
+                else None
+            ),
         )
         sig_block = np.ascontiguousarray(signal)
         n_pkts = 0

@@ -56,8 +56,13 @@ class StreamingReceiver:
         block: int = 1 << 18,
         header_tap=None,
         payload_tap=None,
+        transfer_dtype=None,
     ):
         import dataclasses
+
+        # optional reduced-precision h2d (see utils.cplx.to_device): halves
+        # the wire size on h2d-bandwidth-bound links
+        self.transfer_dtype = transfer_dtype
 
         self.header_tap = header_tap
         self.payload_tap = payload_tap
@@ -68,7 +73,12 @@ class StreamingReceiver:
         fp, pt = self.rx.front_pad, self.rx.pad_tail()
         self.fp, self.pt = fp, pt
         self.buf_len = fp + block + pt
-        self._buf = jnp.zeros(self.buf_len, jnp.complex64)
+        # plane-split zeros: a complex64 full() needs a complex constant
+        # transfer, unimplemented on this backend (see CLAUDE.md)
+        self._buf = jax.lax.complex(
+            jnp.zeros(self.buf_len, jnp.float32),
+            jnp.zeros(self.buf_len, jnp.float32),
+        )
         # absolute stream index of buf[0]; the first real sample lands at
         # buffer position fp + pt after the first block append
         self._abs_offset = -(fp + pt + block)
@@ -80,6 +90,8 @@ class StreamingReceiver:
         # one-block-deep pipeline: results of block N are materialized on
         # the host while block N+1 computes (SURVEY §7 hard-part 5)
         self._inflight = None
+        # symbol outputs cost extra d2h; only produced when a tap wants them
+        self._with_syms = header_tap is not None or payload_tap is not None
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -119,7 +131,23 @@ class StreamingReceiver:
             # busy state pre-shifted into the next block's local coordinates
             block = jnp.int32(self.block)
             busy_next = jnp.maximum(busy_end - block, -(1 << 30))
-            return det, hdr, res, busy_next, hdr_syms
+            # pack the per-packet metadata into ONE 1-D f32 array: the
+            # tunnel's d2h costs ~9 ms of latency PER TRANSFER (and 2-D f32
+            # arrays hit a pathologically slow path), so the host pulls one
+            # flat array + the u8 data matrix per block instead of seven
+            # arrays
+            f32 = jnp.float32
+            meta = jnp.concatenate([
+                det.index.astype(f32),
+                res.lengths.astype(f32),
+                hdr.packet_type.astype(f32),
+                det.esn0_db.astype(f32),
+                res.accepted.astype(f32),
+                det.overflow.astype(f32)[None],
+            ])
+            if self._with_syms:
+                return res.data, meta, busy_next, hdr_syms, res.symbols
+            return res.data, meta, busy_next
 
         return step
 
@@ -134,7 +162,9 @@ class StreamingReceiver:
                 self._pending[: self.block],
                 self._pending[self.block :],
             )
-            out.extend(self._process_block(to_device(chunk)))
+            out.extend(
+                self._process_block(to_device(chunk, self.transfer_dtype))
+            )
         return out
 
     def flush(self) -> list[DecodedPacket]:
@@ -160,16 +190,14 @@ class StreamingReceiver:
         self._abs_offset += self.block
         # dispatch asynchronously; the previous block's results are
         # materialized below while this step runs on device
-        det, hdr, res, busy_next, hdr_syms = self._step(
+        outs = self._step(
             self._buf,
             jnp.int32(self.fp),
             jnp.int32(self.fp + self.block),
             self._busy_dev,
         )
-        self._busy_dev = busy_next
-        prev, self._inflight = self._inflight, (
-            det, hdr, res, hdr_syms, self._abs_offset,
-        )
+        self._busy_dev = outs[2]
+        prev, self._inflight = self._inflight, (outs, self._abs_offset)
         if prev is None:
             return []
         return self._materialize(prev)
@@ -179,8 +207,16 @@ class StreamingReceiver:
         return self._materialize(prev) if prev is not None else []
 
     def _materialize(self, inflight) -> list[DecodedPacket]:
-        det, hdr, res, hdr_syms, abs_offset = inflight
-        if bool(np.asarray(det.overflow)):
+        outs, abs_offset = inflight
+        data_dev, meta_dev = outs[0], outs[1]
+        d = self.rx.config.max_detections
+        meta = np.asarray(meta_dev)  # ONE d2h for all per-packet metadata
+        idxs = meta[0 * d : 1 * d].astype(np.int64)
+        lens = meta[1 * d : 2 * d].astype(np.int64)
+        types = meta[2 * d : 3 * d].astype(np.int64)
+        esn0 = meta[3 * d : 4 * d]
+        accepted = meta[4 * d : 5 * d] > 0.5
+        if meta[5 * d] > 0.5:  # acquisition overflow flag
             self.overflow_blocks += 1
             if self.overflow_blocks == 1:
                 import warnings
@@ -192,18 +228,13 @@ class StreamingReceiver:
                     RuntimeWarning,
                     stacklevel=3,
                 )
-        accepted = np.asarray(res.accepted)
         out = []
         if accepted.any():
-            data = np.asarray(res.data)
-            lens = np.asarray(res.lengths)
-            idxs = np.asarray(det.index)
-            types = np.asarray(hdr.packet_type)
-            esn0 = np.asarray(det.esn0_db)
+            data = np.asarray(data_dev)
             if self.header_tap is not None:
-                hs = np.asarray(hdr_syms)  # [D, 192, 2]
+                hs = np.asarray(outs[3])  # [D, 192, 2]
             if self.payload_tap is not None:
-                ps = np.asarray(res.symbols)  # [D, S, 2]
+                ps = np.asarray(outs[4])  # [D, S, 2]
             for i in np.nonzero(accepted)[0]:
                 out.append(
                     DecodedPacket(

@@ -58,12 +58,20 @@ def to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def to_device(x: np.ndarray) -> jax.Array:
-    """numpy -> device, transferring complex data as separate I/Q planes."""
+def to_device(x: np.ndarray, transfer_dtype=None) -> jax.Array:
+    """numpy -> device, transferring complex data as separate I/Q planes.
+
+    ``transfer_dtype=jnp.bfloat16`` halves the wire size of complex inputs
+    (planes are cast back to f32 on device). The ~45 dB quantization floor
+    sits far above the modem's operating Es/N0; use for h2d-bandwidth-bound
+    streaming (the dev tunnel moves ~17 MB/s)."""
     x = np.asarray(x)
     if np.iscomplexobj(x):
-        return jax.lax.complex(
-            jnp.asarray(np.ascontiguousarray(x.real)),
-            jnp.asarray(np.ascontiguousarray(x.imag)),
-        )
+        re = np.ascontiguousarray(x.real)
+        im = np.ascontiguousarray(x.imag)
+        if transfer_dtype is not None:
+            re = jnp.asarray(re.astype(transfer_dtype)).astype(jnp.float32)
+            im = jnp.asarray(im.astype(transfer_dtype)).astype(jnp.float32)
+            return jax.lax.complex(re, im)
+        return jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
     return jnp.asarray(x)
