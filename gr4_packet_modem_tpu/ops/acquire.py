@@ -64,12 +64,22 @@ class AcquisitionConfig:
     time_threshold: int = C.SYNC_TIME_THRESHOLD
     power_threshold: float = C.SYNC_POWER_THRESHOLD
     max_detections: int = 64  # static bound per processed block
-    # correlation backend: "fft" (overlap-save, as reference), "conv" (the
-    # correlation as a real 2-plane convolution on the MXU, f32), or
-    # "conv_bf16" (same with bf16 inputs / f32 accumulation — 2x the MXU
-    # rate; detection-equivalent, estimates within ~1% — see
-    # tests/test_acquire.py::test_conv_bf16_equivalence)
-    backend: str = "fft"
+    # correlation backend:
+    #   "auto"      fused on TPU, fft elsewhere (default)
+    #   "fused"     Pallas kernel: per-bin product+iFFT+power reduced in
+    #               VMEM (ops/acquire_pallas.py) — detection-identical to
+    #               fft, ~1.8x faster on TPU
+    #   "fft"       overlap-save FFT, as the reference
+    #   "conv"      the correlation as a real 2-plane MXU convolution (f32)
+    #   "conv_bf16" same with bf16 inputs / f32 accumulation
+    backend: str = "auto"
+
+    def resolved_backend(self) -> str:
+        if self.backend == "auto":
+            import jax
+
+            return "fused" if jax.default_backend() == "tpu" else "fft"
+        return self.backend
 
 
 @jax.tree_util.register_pytree_node_class
@@ -268,9 +278,10 @@ class SyncwordAcquirer:
         return (out[:, :nb] + 1j * out[:, nb:]).T
 
     def correlate(self, x: jax.Array) -> jax.Array:
-        if self.config.backend == "fft":
+        backend = self.config.resolved_backend()
+        if backend == "fft":
             return self._correlate_fft(x)
-        if self.config.backend == "conv_bf16":
+        if backend == "conv_bf16":
             return self._correlate_conv(x, jnp.bfloat16)
         return self._correlate_conv(x)
 
@@ -287,8 +298,9 @@ class SyncwordAcquirer:
         reported indices (absolute stream coordinates).
         """
         cfg = self.config
+        backend = cfg.resolved_backend()
         w = cfg.time_threshold
-        if cfg.backend == "fused":
+        if backend == "fused":
             best_pow, best_bin_flat = self._best_power_fused(x)
             corr = power = None
         else:
@@ -353,7 +365,7 @@ class SyncwordAcquirer:
         bin_spacing = np.float32(np.pi / self.sync_len)
         ti = top_idx
         b = top_pow
-        if cfg.backend == "fused":
+        if backend == "fused":
             # the kernel reduces to best-bin power only; adjacent-bin powers
             # and the complex value at the peak are recomputed exactly at
             # the <= D candidate points by direct correlation
@@ -372,7 +384,7 @@ class SyncwordAcquirer:
         )
         delta_freq = jnp.where(interior, quad * bin_spacing, 0.0)
         freq = (bi - cfg.freq_bins).astype(jnp.float32) * bin_spacing + delta_freq
-        if cfg.backend != "fused":
+        if backend != "fused":
             from ..utils.cplx import cgather
 
             phase_raw = jnp.angle(cgather(corr, bi, ti))
