@@ -22,6 +22,7 @@ FAST_EXAMPLES = [
     "packet_to_stream.py",
     "pfb_arb_resampler.py",
     "qpsk_modulator.py",
+    "receiver_bank_serving.py",
     "syncword_detection.py",
 ]
 
