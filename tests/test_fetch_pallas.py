@@ -1,0 +1,42 @@
+"""DMA region-fetch kernel (ops/fetch_pallas.py), interpret mode.
+
+The kernel itself cannot be compiled by this environment's chipless remote
+AOT compiler (gated off on TPU by default, PM_PALLAS_FETCH=1 to enable);
+its correctness contract is pinned here so enabling it on a capable
+deployment is a config flip, not a code change.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gr4_packet_modem_tpu.ops.fetch_pallas import fetch_regions
+
+
+def test_fetch_regions_matches_slices():
+    rng = np.random.default_rng(0)
+    t, d, r = 50000, 16, 809  # r not a multiple of 128 (pad path)
+    x = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(
+        np.complex64
+    )
+    starts = rng.integers(0, t - r, d).astype(np.int32)
+    fr, fi = fetch_regions(
+        jnp.asarray(x.real), jnp.asarray(x.imag), jnp.asarray(starts), r,
+        interpret=True,
+    )
+    ref = np.stack([x[s : s + r] for s in starts])
+    np.testing.assert_array_equal(np.asarray(fr), ref.real)
+    np.testing.assert_array_equal(np.asarray(fi), ref.imag)
+
+
+def test_fetch_regions_vmap():
+    rng = np.random.default_rng(1)
+    c, t, d, r = 3, 20000, 4, 512
+    x = rng.standard_normal((c, t)).astype(np.float32)
+    starts = rng.integers(0, t - r, (c, d)).astype(np.int32)
+    fr, _ = jax.vmap(
+        lambda xr, s: fetch_regions(xr, xr, s, r, interpret=True)
+    )(jnp.asarray(x), jnp.asarray(starts))
+    ref = np.stack([[x[i, s : s + r] for s in starts[i]] for i in range(c)])
+    np.testing.assert_array_equal(np.asarray(fr), ref)
