@@ -61,10 +61,11 @@ bank = ReceiverBank(
     BankConfig(
         num_channels=channels,
         block_samples=BLOCK * STEPS,
-        rx=RxConfig(max_payload_len=256, max_detections=16),
+        rx=RxConfig(max_payload_len=256, max_detections=32),
     ),
 )
 probe = ProbeRate(alpha=0.3)
+probe.update(0)  # prime the probe's clock (first call only records time)
 xj = jax.device_put(to_device(x), bank.sharding())
 
 t0 = time.time()

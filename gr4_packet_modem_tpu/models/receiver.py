@@ -65,7 +65,9 @@ class RxConfig:
     max_detections: int = 64
     freq_bins: int = 4
     power_threshold: float = C.SYNC_POWER_THRESHOLD
-    acquisition_backend: str = "fft"
+    # "auto" = fused Pallas correlator on TPU, reference fft elsewhere
+    # (see AcquisitionConfig.backend for all values)
+    acquisition_backend: str = "auto"
     # overlap-save FFT size for the fft backend (syncword_detection.hpp uses
     # 2048; larger sizes trade fewer/bigger FFTs against overlap waste
     # (sync_len-1)/fft_size — relevant knob on TPU, see docs/PERF_R2.md)

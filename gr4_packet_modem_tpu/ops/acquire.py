@@ -78,7 +78,11 @@ class AcquisitionConfig:
         if self.backend == "auto":
             import jax
 
-            return "fused" if jax.default_backend() == "tpu" else "fft"
+            # the fused kernel needs N = 16 * N2 with N2 a multiple of 128
+            # lanes; odd fft sizes resolve to the fft backend instead
+            if jax.default_backend() == "tpu" and self.fft_size % 2048 == 0:
+                return "fused"
+            return "fft"
         return self.backend
 
 
@@ -134,6 +138,12 @@ class SyncwordAcquirer:
             raise ValueError(
                 f"fft_size must be >= {2 * (self.sync_len - 1)} "
                 f"(2*(sync_len-1)) for the overlap-save framing"
+            )
+        if config.backend == "fused" and n % 2048 != 0:
+            raise ValueError(
+                "the fused backend needs fft_size to be a multiple of 2048 "
+                "(N = 16 x N2 factorization with 128-lane-aligned N2); use "
+                'backend="auto" to fall back to fft for other sizes'
             )
         self.stride = n - self.sync_len + 1
         # the replica FFTs are computed on-device inside the jit (from the
@@ -343,12 +353,11 @@ class SyncwordAcquirer:
         # CFAR median-proxy test on gathered windows
         thr = top_pow / cfg.power_threshold
         win_lo = jnp.maximum(top_idx, w) - w
-        from .fetch_pallas import fetch_enabled, fetch_regions
+        from .fetch_pallas import fetch_enabled, fetch_rows
 
         if jax.default_backend() == "tpu" and fetch_enabled():
-            wins, _ = fetch_regions(
-                best_pow, best_pow, jnp.clip(win_lo, 0, tlen - (2 * w + 1)),
-                2 * w + 1,
+            wins = fetch_rows(
+                best_pow, jnp.clip(win_lo, 0, tlen - (2 * w + 1)), 2 * w + 1
             )
             below = jnp.sum((wins < thr[:, None]).astype(jnp.int32), axis=-1)
         else:

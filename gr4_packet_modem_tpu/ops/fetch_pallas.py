@@ -49,6 +49,42 @@ def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):
     ci.wait()
 
 
+def _kernel1(starts_ref, x_hbm, out_ref, sem):
+    d = pl.program_id(0)
+    s0 = starts_ref[d]
+    r = out_ref.shape[-1]
+    c = pltpu.make_async_copy(x_hbm.at[pl.ds(s0, r)], out_ref.at[0, 0], sem)
+    c.start()
+    c.wait()
+
+
+@partial(jax.jit, static_argnames=("region_len", "interpret"))
+def fetch_rows(
+    x: jax.Array,
+    starts: jax.Array,
+    region_len: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-plane variant of :func:`fetch_regions` (one DMA per window)."""
+    d = starts.shape[0]
+    rpad = -(-region_len // 128) * 128
+    if rpad != region_len:
+        x = jnp.concatenate([x, jnp.zeros(rpad - region_len, x.dtype)])
+    out = pl.pallas_call(
+        _kernel1,
+        grid=(d,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        out_shape=jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), x)
+    return out[:, 0, :region_len]
+
+
 @partial(jax.jit, static_argnames=("region_len", "interpret"))
 def fetch_regions(
     xr: jax.Array,

@@ -73,6 +73,14 @@ class StreamingReceiver:
         fp, pt = self.rx.front_pad, self.rx.pad_tail()
         self.fp, self.pt = fp, pt
         self.buf_len = fp + block + pt
+        # per-block metadata travels as ONE f32 array (the tunnel pays ~9 ms
+        # latency per d2h transfer); f32 is exact for integers < 2^24, which
+        # bounds the buffer-local indices it carries
+        if self.buf_len >= 1 << 24:
+            raise ValueError(
+                "block too large: buffer-local indices must stay below 2^24 "
+                "for the packed f32 metadata transfer"
+            )
         # plane-split zeros: a complex64 full() needs a complex constant
         # transfer, unimplemented on this backend (see CLAUDE.md)
         self._buf = jax.lax.complex(

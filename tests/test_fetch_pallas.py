@@ -40,3 +40,15 @@ def test_fetch_regions_vmap():
     )(jnp.asarray(x), jnp.asarray(starts))
     ref = np.stack([[x[i, s : s + r] for s in starts[i]] for i in range(c)])
     np.testing.assert_array_equal(np.asarray(fr), ref)
+
+
+def test_fetch_rows_single_plane():
+    rng = np.random.default_rng(2)
+    t, d, r = 30000, 8, 1537
+    x = rng.standard_normal(t).astype(np.float32)
+    starts = rng.integers(0, t - r, d).astype(np.int32)
+    from gr4_packet_modem_tpu.ops.fetch_pallas import fetch_rows
+
+    out = fetch_rows(jnp.asarray(x), jnp.asarray(starts), r, interpret=True)
+    ref = np.stack([x[s : s + r] for s in starts])
+    np.testing.assert_array_equal(np.asarray(out), ref)
