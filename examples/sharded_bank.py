@@ -17,6 +17,7 @@ from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
 
 _pm_setup()  # PM_PLATFORM backend override + persistent compile cache
 
+import jax
 import numpy as np
 
 from gr4_packet_modem_tpu.models.receiver import RxConfig

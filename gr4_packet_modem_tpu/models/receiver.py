@@ -42,10 +42,7 @@ import numpy as np
 from ..ops import ldpc
 from ..ops.acquire import AcquisitionConfig, Detections, SyncwordAcquirer
 from ..ops.costas import costas_run, costas_segments
-from ..ops.costas_pallas import (
-    PALLAS_MAX_SYMBOLS as _PALLAS_MAX_SYMBOLS,
-    costas_track_pallas,
-)
+from ..ops.costas_pallas import costas_track_pallas
 from ..ops.fetch_pallas import fetch_enabled, fetch_regions
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
@@ -53,9 +50,46 @@ from ..ops.scramble import keystream
 from ..utils import constants as C
 from ..utils.firdes import rx_pfb_taps, rx_rrc_taps
 
-__all__ = ["RxConfig", "Receiver", "HeaderResult", "PayloadResult"]
+__all__ = [
+    "RxConfig", "Receiver", "HeaderResult", "PayloadResult",
+    "packet_extent_samples", "suppress_overlapping",
+]
 
 _HEADER_REGION_SYMS = C.SYNCWORD_LEN + C.HEADER_SYMBOLS  # 192
+
+
+def packet_extent_samples(
+    packet_length: jax.Array, header_ok: jax.Array, sps: int
+) -> jax.Array:
+    """Sample extent claimed by a detection: syncword+header plus — when the
+    header decoded — the payload+CRC symbols (PayloadMetadataInsert's
+    ``payload_symbols = 4*(packet_length + 4)``,
+    payload_metadata_insert.hpp:227-234). Shared by ``filter_detections``
+    and the streaming step so the geometry cannot drift."""
+    payload_syms = 4 * (packet_length + C.CRC_NUM_BYTES)
+    return jnp.where(
+        header_ok,
+        sps * (_HEADER_REGION_SYMS + payload_syms),
+        sps * _HEADER_REGION_SYMS,
+    )
+
+
+def suppress_overlapping(
+    index: jax.Array, valid: jax.Array, extent: jax.Array, busy0: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """In-packet suppression scan (SyncwordDetectionFilter +
+    PayloadMetadataInsert): walk the index-sorted detections once, dropping
+    any that start before ``busy_until``; kept detections claim
+    ``[index, index + extent)``. ``busy0`` seeds the state (carried across
+    blocks by the streaming driver). Returns ``(busy_end, keep)``."""
+
+    def step(busy_until, xs):
+        idx, v, ext = xs
+        keep = v & (idx >= busy_until)
+        busy_until = jnp.where(keep, idx + ext, busy_until)
+        return busy_until, keep
+
+    return jax.lax.scan(step, busy0, (index, valid, extent))
 
 
 @dataclass(frozen=True)
@@ -207,7 +241,9 @@ class Receiver:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if use_pallas and syms.shape[-1] <= _PALLAS_MAX_SYMBOLS:
+        if use_pallas:
+            # the gridded kernel handles any symbol count (SYM_BLOCK tiles
+            # with scratch-carried loop state) — no length cap
             return costas_track_pallas(
                 syms, phase0, freq0, offset=offset,
                 # forced-on off-TPU (tests) runs the kernel interpreter
@@ -396,24 +432,14 @@ class Receiver:
         """Suppress detections that start inside an earlier accepted packet's
         extent (SyncwordDetectionFilter + PayloadMetadataInsert in-packet
         suppression). Detections are index-sorted with invalid entries last."""
-        sps = self.config.samples_per_symbol
-        payload_syms = 4 * (hdr.packet_length + C.CRC_NUM_BYTES)
-        extent = jnp.where(
-            hdr.header_ok,
-            sps * (_HEADER_REGION_SYMS + payload_syms),
-            sps * _HEADER_REGION_SYMS,
+        extent = packet_extent_samples(
+            hdr.packet_length, hdr.header_ok, self.config.samples_per_symbol
         )
-
-        def step(busy_until, xs):
-            idx, valid, ext = xs
-            keep = valid & (idx >= busy_until)
-            busy_until = jnp.where(keep, idx + ext, busy_until)
-            return busy_until, keep
-
-        _, keep = jax.lax.scan(
-            step,
+        _, keep = suppress_overlapping(
+            det.index,
+            det.valid,
+            extent,
             det.index[0] * 0 - 1,  # -1, derived from inputs for vma typing
-            (det.index, det.valid, extent),
         )
         return keep
 

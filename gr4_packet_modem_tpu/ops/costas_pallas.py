@@ -4,14 +4,26 @@ The Costas loop (costas_loop.hpp:113-146) is a per-symbol nonlinear IIR — it
 cannot be block-parallelized exactly, so as a ``lax.scan`` it costs one XLA
 loop iteration (~2.7 us on this backend) per symbol: 16.7 ms for a 6160-symbol
 payload pass. This kernel runs the identical recursion inside a single Pallas
-program with every operand resident in VMEM: per step it reads one [1, B]
+program with every operand resident in VMEM: per step it reads one [1, 128]
 symbol row, does ~15 VPU ops, and writes the corrected row back in place —
 no per-step dispatch, no HBM round-trips.
 
-Layout: symbols ``[S, B]`` (batch in lanes, symbols in sublanes); the packet
-batch B is zero-padded to the 128-lane tile. The corrected output aliases the
-input buffers (read row -> write row, never re-read), so VMEM holds just the
-two I/Q planes.
+Layout: symbols ``[S, B]`` (batch in lanes, symbols in sublanes), tiled by a
+2-D grid ``(lane_blocks, symbol_blocks)``:
+
+- the **lane** dimension packs the batch into 128-lane tiles — a receiver
+  bank hands ALL channels' detections (C x D lanes) to ONE kernel call, so
+  the VPU runs at full lane utilization instead of one underfilled kernel
+  instance per channel (the round-2 vmap serialization, docs/PERF_R2.md);
+- the **symbol** dimension iterates sequentially (innermost grid dim) with
+  the loop state (phase, freq) carried across blocks in VMEM scratch, so the
+  packet length is unbounded — the full u16 payload envelope (65,535 bytes =
+  262,156 symbols, packet_ingress.hpp:104) streams through block by block
+  instead of hitting a VMEM cap.
+
+The corrected output aliases the input buffers (read row -> write row, never
+re-read), so VMEM holds just the two I/Q planes of one [SYM_BLOCK, 128] tile
+pair per step.
 
 The constellation/bandwidth schedule is *positional* (the modem's schedule is
 a fixed function of symbol index: PILOT over the wiped-off syncword, QPSK at
@@ -34,19 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import constants as C
 from .costas import costas_coefficients
 
-__all__ = ["costas_track_pallas", "PALLAS_MAX_SYMBOLS"]
+__all__ = ["costas_track_pallas", "SYM_BLOCK"]
 
 _HDR_END = C.SYNCWORD_LEN + C.HEADER_SYMBOLS  # 192
 
-# past this many symbols the [S, 128] I/Q planes stop fitting comfortably in
-# VMEM (2 * S * 128 * 4 B); callers fall back to the lax.scan path
-PALLAS_MAX_SYMBOLS = 12 * 1024
+# symbols per grid step: two f32 [SYM_BLOCK, 128] I/Q tiles = 2 MB in VMEM
+# (aliased in/out); small enough to double-buffer, large enough that the
+# per-block pipeline overhead is negligible against the per-symbol loop
+SYM_BLOCK = 2048
 
 _PI = np.float32(np.pi)
 _TWO_PI = np.float32(2 * np.pi)
 
 
-def _make_kernel(num_syms: int, offset: int):
+def _make_kernel(num_syms: int, offset: int, sym_block: int):
     k1a, k2a = costas_coefficients(C.SYNCWORD_COSTAS_BW, False)
     k1b, k2b = costas_coefficients(C.HEADER_COSTAS_BW, True)
     k1c, k2c = costas_coefficients(C.PAYLOAD_COSTAS_BW, True)
@@ -54,10 +67,22 @@ def _make_kernel(num_syms: int, offset: int):
     def kernel(
         ph0_ref, fr0_ref, re_ref, im_ref,
         out_re_ref, out_im_ref, ph_end_ref, fr_end_ref,
+        ph_scr, fr_scr,
     ):
+        sb = pl.program_id(1)
+        nsb = pl.num_programs(1)
+
+        # first symbol block of each lane block: seed the carried state
+        @pl.when(sb == 0)
+        def _seed():
+            ph_scr[:] = ph0_ref[:]
+            fr_scr[:] = fr0_ref[:]
+
+        base = sb * sym_block
+
         def body(s, carry):
-            ph, fr = carry  # [1, B] float32
-            g = s + offset  # global symbol index in the packet
+            ph, fr = carry  # [1, 128] float32
+            g = base + s + offset  # global symbol index in the packet
             pilot = g < C.SYNCWORD_LEN
             k1 = jnp.where(
                 pilot,
@@ -85,11 +110,16 @@ def _make_kernel(num_syms: int, offset: int):
             out_im_ref[pl.ds(s, 1), :] = zi
             return ph, fr
 
-        ph, fr = jax.lax.fori_loop(
-            0, num_syms, body, (ph0_ref[:], fr0_ref[:])
-        )
-        ph_end_ref[:] = ph
-        fr_end_ref[:] = fr
+        # partial trailing block: loop only over the real symbols
+        n = jnp.minimum(jnp.int32(sym_block), jnp.int32(num_syms) - base)
+        ph, fr = jax.lax.fori_loop(0, n, body, (ph_scr[:], fr_scr[:]))
+        ph_scr[:] = ph
+        fr_scr[:] = fr
+
+        @pl.when(sb == nsb - 1)
+        def _finish():
+            ph_end_ref[:] = ph_scr[:]
+            fr_end_ref[:] = fr_scr[:]
 
     return kernel
 
@@ -105,10 +135,13 @@ def costas_track_pallas(
     """Loop-exact Costas tracking of ``symbols [B, S]`` complex64 starting at
     packet symbol ``offset``. Returns ``(corrected [B, S], phase_end [B],
     freq_end [B])`` — the same contract as ``costas_run`` with the receiver's
-    positional schedule."""
+    positional schedule. Any B (tiled into 128-lane blocks) and any S (tiled
+    into SYM_BLOCK grid steps with the loop state carried in scratch)."""
     b, s = symbols.shape
     b_pad = max(128, -(-b // 128) * 128)
-    s_pad = -(-s // 8) * 8
+    sym_block = min(SYM_BLOCK, -(-s // 8) * 8)
+    nsb = -(-s // sym_block)
+    s_pad = nsb * sym_block
     re = jnp.zeros((s_pad, b_pad), jnp.float32).at[:s, :b].set(symbols.real.T)
     im = jnp.zeros((s_pad, b_pad), jnp.float32).at[:s, :b].set(symbols.imag.T)
     ph0 = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(
@@ -117,26 +150,24 @@ def costas_track_pallas(
     fr0 = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(
         freq0.astype(jnp.float32)
     )
+    nlb = b_pad // 128
+    state_spec = pl.BlockSpec((1, 128), lambda l, sb: (0, l))
+    plane_spec = pl.BlockSpec((sym_block, 128), lambda l, sb: (sb, l))
     out_re, out_im, ph_end, fr_end = pl.pallas_call(
-        _make_kernel(s, offset),
+        _make_kernel(s, offset, sym_block),
+        grid=(nlb, nsb),
         out_shape=(
             jax.ShapeDtypeStruct((s_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((s_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[state_spec, state_spec, plane_spec, plane_spec],
+        out_specs=(plane_spec, plane_spec, state_spec, state_spec),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(ph0, fr0, re, im)

@@ -70,26 +70,32 @@ class CrcRef:
         return ret
 
     def _build_table(self, poly: int) -> np.ndarray:
+        """Each entry independently: clock one byte's 8 bits through the
+        shift register (textbook byte-at-a-time table; the table is fully
+        determined by the CRC spec)."""
         table = np.zeros(256, dtype=np.uint64)
         if self.input_reflected:
-            poly = self._reflect(poly)
-            crc = 1
-            i = 128
-            while i > 0:
-                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
-                for j in range(0, 256, 2 * i):
-                    table[i + j] = (crc ^ table[j]) & self.mask
-                i >>= 1
+            # reflected convention: LSB-first register, reflected polynomial
+            poly_r = self._reflect(poly)
+            for byte in range(256):
+                reg = byte
+                for _ in range(8):
+                    lsb = reg & 1
+                    reg >>= 1
+                    if lsb:
+                        reg ^= poly_r
+                table[byte] = reg & self.mask
         else:
-            msb = 1 << (self.num_bits - 1)
-            crc = msb
-            i = 1
-            while i < 256:
-                crc = ((crc << 1) ^ poly) if crc & msb else (crc << 1)
-                crc &= (self.mask << 1) | 1
-                for j in range(i):
-                    table[i + j] = (crc ^ table[j]) & self.mask
-                i <<= 1
+            # forward convention: byte enters at the register's top
+            top = 1 << (self.num_bits - 1)
+            for byte in range(256):
+                reg = byte << (self.num_bits - 8)
+                for _ in range(8):
+                    carry = reg & top
+                    reg = (reg << 1) & self.mask
+                    if carry:
+                        reg ^= poly & self.mask
+                table[byte] = reg
         return table
 
     def compute(self, data) -> int:

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.receiver import Receiver, RxConfig
+from ..models.receiver import (
+    Receiver,
+    RxConfig,
+    packet_extent_samples,
+    suppress_overlapping,
+)
 from ..models.transmitter import Transmitter
 from ..utils import constants as C
 from ..utils.cplx import to_device, to_host
@@ -117,23 +122,13 @@ class StreamingReceiver:
             hdr_syms = jnp.stack(
                 [hdr_corrected.real, hdr_corrected.imag], axis=-1
             )
-            # in-packet suppression carried across blocks via busy0
-            sps = rx.config.samples_per_symbol
-            payload_syms = 4 * (hdr.packet_length + C.CRC_NUM_BYTES)
-            extent = jnp.where(
-                hdr.header_ok,
-                sps * (192 + payload_syms),
-                sps * 192,
+            # in-packet suppression carried across blocks via busy0 (shared
+            # extent+scan helpers — models/receiver.py)
+            extent = packet_extent_samples(
+                hdr.packet_length, hdr.header_ok, rx.config.samples_per_symbol
             )
-
-            def sstep(busy_until, xs):
-                idx, valid, ext = xs
-                keep = valid & (idx >= busy_until)
-                busy_until = jnp.where(keep, idx + ext, busy_until)
-                return busy_until, keep
-
-            busy_end, keep = jax.lax.scan(
-                sstep, busy0 + det.index[0] * 0, (det.index, det.valid, extent)
+            busy_end, keep = suppress_overlapping(
+                det.index, det.valid, extent, busy0 + det.index[0] * 0
             )
             res = rx.decode_payloads(buf, det, hdr, keep)
             # busy state pre-shifted into the next block's local coordinates

@@ -28,6 +28,8 @@ def _ref(syms, ph0, fr0, offset):
         (32, 512, 192),   # payload continuation
         (5, 300, 192),    # batch not a tile multiple
         (160, 192, 0),    # batch wider than one 128-lane tile
+        (8, 2600, 192),   # symbols spanning two SYM_BLOCK grid steps
+        (200, 4500, 0),   # multi lane-block x multi symbol-block + tail
     ],
 )
 def test_pallas_matches_scan(b, s, offset):

@@ -3,7 +3,7 @@
 Mirrors the role of the reference's examples/ build in CI — every example is
 a compiled-and-run artifact, not documentation-only code. Only the quick
 CPU-friendly ones run here; the slow full-chain demos (loopback, per_sweep,
-sharded_bank, streaming_blocks) are covered by the equivalent tests.
+streaming_blocks) are covered by the equivalent tests.
 """
 
 import os
@@ -23,6 +23,7 @@ FAST_EXAMPLES = [
     "pfb_arb_resampler.py",
     "qpsk_modulator.py",
     "receiver_bank_serving.py",
+    "sharded_bank.py",  # needs the 8-device flag the conftest already set
     "syncword_detection.py",
 ]
 
