@@ -25,12 +25,11 @@ BASELINE_RX_SPS = 7.0e6  # reference full RX, 4 freq bins (results.md:43-51)
 def main():
     import jax
 
-    # persistent compilation cache: repeat runs skip the 10-15 s remote
-    # compile of the RX step
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/pm_jax_cache")
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
+
+    # persistent compilation cache (repeat runs skip the 10-15 s remote
+    # compile of the RX step) + PM_PLATFORM=cpu for off-TPU smoke runs
+    _pm_setup()
     import jax.numpy as jnp
 
     from gr4_packet_modem_tpu.models.receiver import Receiver, RxConfig
@@ -97,14 +96,12 @@ def main():
     xj = to_device(x)
 
     def rx_step(samples_2d):
-        def per_channel(xc):
-            det = rx.acquirer.acquire(xc)
-            hdr, _ = rx.decode_headers(xc, det)
-            keep = rx.filter_detections(det, hdr)
-            res = rx.decode_payloads(xc, det, hdr, keep)
-            return res.accepted.sum(), res.crc_ok.sum()
-
-        return jax.vmap(per_channel)(samples_2d)
+        # lane-packed bank decode: acquisition vmapped per channel, the
+        # decode passes run over all C x D detections in one flat batch
+        # (models/receiver.py::decode_bank)
+        det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(samples_2d)
+        _, _, res, _ = rx.decode_bank(samples_2d, det)
+        return res.accepted.sum(), res.crc_ok.sum()
 
     step = jax.jit(rx_step)
     # warmup / compile
@@ -123,38 +120,73 @@ def main():
 
     # sustained end-to-end single-stream rate through the pipelined
     # StreamingReceiver host driver (h2d upload + step + deferred host
-    # materialization per block), vs the resident-buffer jit loop above
+    # materialization per block), vs the resident-buffer jit loop above.
+    # PARITY-GATED (VERDICT r2 next-step 1): the rate is reported only when
+    # every expected packet decoded and no block saturated the detection
+    # cap — a throughput number with silent packet loss is not evidence.
     sustained = 0.0
+    sustained_info = {}
     if os.environ.get("BENCH_SUSTAINED", "1") == "1":
         from gr4_packet_modem_tpu.runtime.streaming import StreamingReceiver
 
+        # the dev tunnel moves ~17 MB/s h2d; reduced-precision transfer
+        # planes cut the wire cost (int8 = 2 B/sample; quantization floor
+        # ~42 dB, far above the 20 dB operating point — and the parity gate
+        # below PROVES decode is lossless at this wire format)
+        xfer = os.environ.get("BENCH_XFER", "int8")
+        transfer_dtype = {
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+        }[xfer]
         srx = StreamingReceiver(
             RxConfig(
                 max_payload_len=1536,
                 max_detections=max_det,
                 freq_bins=4,
                 payload_carrier=carrier,
-            acquisition_backend=acq_backend,
+                acquisition_backend=acq_backend,
             ),
             block=block,
-            # the dev tunnel moves ~17 MB/s h2d; bf16 transfer planes halve
-            # the wire cost (BENCH_XFER=f32 for exact transfers)
-            transfer_dtype=(
-                jnp.bfloat16
-                if os.environ.get("BENCH_XFER", "bf16") == "bf16"
-                else None
-            ),
+            transfer_dtype=transfer_dtype,
         )
-        sig_block = np.ascontiguousarray(signal)
-        n_pkts = 0
-        n_pkts += len(srx.process(sig_block))  # warm-up/compile block
-        t0 = time.time()
+        # feed WHOLE bursts only (tiled complete 12-burst patterns): bursts
+        # straddle the driver's internal block boundaries naturally, and no
+        # burst is ever truncated mid-payload — a truncated burst's header
+        # claims its full extent and suppresses the next real packet start
+        # (the reference's SyncwordDetectionFilter does the same), which is
+        # a property of the stimulus, not a receiver loss
+        sig_unit = np.ascontiguousarray(
+            np.tile(stream, max(1, -(-block // stream.size)))
+        )
+        pkts_per_unit = len(payloads) * (sig_unit.size // stream.size)
+        n_pkts = len(srx.process(sig_unit))  # warm-up/compile
         s_iters = max(iters // 2, 5)
+        blocks0 = srx.stats["blocks"]
+        t0 = time.time()
         for _ in range(s_iters):
-            n_pkts += len(srx.process(sig_block))
-        n_pkts += len(srx._drain())
+            n_pkts += len(srx.process(sig_unit))
+        n_pkts += len(srx._drain())  # materialize the pipelined tail
         dt_s = time.time() - t0
-        sustained = block * s_iters / dt_s
+        blocks_timed = srx.stats["blocks"] - blocks0
+        n_pkts += len(srx.flush())  # decode the final blocks' lookahead
+        expected = pkts_per_unit * (1 + s_iters)
+        parity_ok = n_pkts == expected and srx.overflow_blocks == 0
+        sustained = blocks_timed * block / dt_s if parity_ok else 0.0
+        st = srx.stats
+        nb = max(st["blocks"], 1)
+        sustained_info = {
+            "sustained_xfer": xfer,
+            "sustained_parity_ok": parity_ok,
+            "sustained_expected_pkts": expected,
+            "sustained_decoded_pkts": n_pkts,
+            "sustained_overflow_blocks": srx.overflow_blocks,
+            "sustained_h2d_ms_per_block": round(1e3 * st["h2d_s"] / nb, 2),
+            "sustained_dispatch_ms_per_block": round(
+                1e3 * st["dispatch_s"] / nb, 2
+            ),
+            "sustained_materialize_ms_per_block": round(
+                1e3 * st["materialize_s"] / nb, 2
+            ),
+        }
 
     result = {
         "metric": "rx_chain_samples_per_sec_per_chip",
@@ -170,6 +202,7 @@ def main():
         "decoded_packet_frac": round(decoded_frac, 4),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        **sustained_info,
     }
     print(json.dumps(result))
 

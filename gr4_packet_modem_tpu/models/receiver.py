@@ -281,6 +281,7 @@ class Receiver:
         amp_scale: jax.Array,
         sym_offset: int,
         num_syms: int,
+        chan: jax.Array | None = None,
     ) -> jax.Array:
         """Matched-filter ``num_syms`` symbols starting at symbol
         ``sym_offset`` for each detection: coarse freq derotation + polyphase
@@ -288,6 +289,11 @@ class Receiver:
 
         Output symbol s uses samples ``x[n_base + sps*(sym_offset+s) - k]``,
         k = 0..K-1, derotated by ``exp(-i freq (n - n0))``.
+
+        Lane-packed bank form: ``x`` may be ``[C, N]`` with ``chan`` int32
+        ``[D]`` giving each detection's channel — all channels' detections
+        are then extracted in ONE batch (the slices address the flattened
+        sample matrix; indices stay channel-local for the derotation).
         """
         cfg = self.config
         sps = cfg.samples_per_symbol
@@ -296,11 +302,22 @@ class Receiver:
         # this backend; a [D,A]x[A,K] matmul is instant and MXU-friendly)
         onehot = jax.nn.one_hot(arm, cfg.num_pfb_arms, dtype=jnp.float32)
         arm_taps = onehot @ jnp.asarray(self._arm_taps)  # [D, K]
-        # the grouped conv never materializes window stacks, so the whole
-        # extraction runs as one chunk
-        chunk = num_syms
-        nchunks = 1
-        xr, xi = x.real, x.imag
+        # the grouped conv never materializes window stacks, so extraction
+        # runs as one chunk up to ~16k symbols; longer extractions (the u16
+        # payload envelope reaches 262,156 symbols) are chunked to bound the
+        # [D, region] intermediates
+        if num_syms > 4 * cfg.symbol_chunk:
+            chunk = cfg.symbol_chunk
+            nchunks = -(-num_syms // chunk)
+        else:
+            chunk = num_syms
+            nchunks = 1
+        if x.ndim == 2:
+            row_len = x.shape[1]
+            xr, xi = x.real.reshape(-1), x.imag.reshape(-1)
+        else:
+            row_len = x.shape[0]
+            xr, xi = x.real, x.imag
         d = n_base.shape[0]
         region_len = sps * (chunk - 1) + kk
 
@@ -317,13 +334,19 @@ class Receiver:
 
         def one_chunk(c):
             start = n_base + sps * (sym_offset + c * chunk) - (kk - 1)  # [D]
-            start_c = jnp.clip(start, 0, x.shape[0] - region_len)
+            # clip within the (channel-local) row, then address the flat
+            # sample matrix; the padded fetch tail may read into the next
+            # channel's row but only within the discarded [region_len, rpad)
+            start_c = jnp.clip(start, 0, row_len - region_len)
+            fetch_start = (
+                start_c if chan is None else start_c + chan * row_len
+            )
             if use_fetch:
                 # scalar-prefetch DMA fetch (ops/fetch_pallas.py): one
                 # vector->scalar readback for the whole start array instead
                 # of one stall per slice
                 rr, ri = fetch_regions(
-                    xr, xi, start_c, region_len,
+                    xr, xi, fetch_start, region_len,
                     interpret=jax.default_backend() != "tpu",
                 )
             else:
@@ -333,10 +356,10 @@ class Receiver:
                 # on this backend — it serializes element-wise.)
                 rr = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(xr, (s,), (region_len,))
-                )(start_c)  # [D, region_len]
+                )(fetch_start)  # [D, region_len]
                 ri = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(xi, (s,), (region_len,))
-                )(start_c)
+                )(fetch_start)
             start = start_c
             # derotate the region by exp(-i freq (n - n0))
             j = jnp.arange(region_len, dtype=jnp.int32)[None, :]
@@ -375,15 +398,17 @@ class Receiver:
 
     @partial(jax.jit, static_argnums=0)
     def decode_headers(
-        self, x: jax.Array, det: Detections
+        self, x: jax.Array, det: Detections, chan: jax.Array | None = None
     ) -> tuple[HeaderResult, jax.Array]:
         """Decode the header of every detection. ``x`` must be padded with
         ``front_pad`` zeros in front (detection indices are relative to
-        ``x``). Returns (HeaderResult, header+sync symbols [D, 192])."""
+        ``x``). Returns (HeaderResult, header+sync symbols [D, 192]).
+        Bank form: ``x`` ``[C, N]`` + ``chan`` ``[D]`` (see decode_bank)."""
         arm, n_base, phase0 = self._timing(det)
         amp_scale = 1.0 / jnp.maximum(det.amplitude, 1e-9)
         syms = self._extract_symbols(
-            x, n_base, arm, det.freq, det.index, amp_scale, 0, _HEADER_REGION_SYMS
+            x, n_base, arm, det.freq, det.index, amp_scale, 0,
+            _HEADER_REGION_SYMS, chan,
         )
         # wipe off the syncword modulation -> pure pilot
         wipe = jnp.concatenate(
@@ -443,6 +468,61 @@ class Receiver:
         )
         return keep
 
+    # ------------------------------------------------- lane-packed bank decode
+
+    @partial(jax.jit, static_argnums=0)
+    def decode_bank(
+        self, x: jax.Array, det: Detections
+    ) -> tuple[Detections, HeaderResult, PayloadResult, jax.Array]:
+        """Decode ALL channels' detections in one flat batch.
+
+        ``x``: ``[C, N]`` complex64; ``det``: per-channel detections with
+        fields ``[C, D]`` (from a vmapped ``acquire``). The per-channel
+        decode passes of round 2 serialized the Pallas kernels into C
+        underfilled instances (32 of 128 lanes each — docs/PERF_R2.md); here
+        the C x D detections run as ONE batch, so the Costas kernel packs
+        C x D lanes per 128-lane tile, the LDPC decoder sees one [C*D, 128]
+        batch and the extraction issues one grouped conv. In-packet
+        suppression stays per-channel (a vmapped tiny scan — detections on
+        different channels must not suppress each other).
+
+        Returns ``(det_flat, hdr, res, keep)`` with all fields flattened to
+        ``[C*D]`` rows ordered channel-major (row ``c*D + i``)."""
+        c, dd = det.index.shape
+        chan = jnp.repeat(jnp.arange(c, dtype=jnp.int32), dd)
+        detf = Detections(
+            index=det.index.reshape(-1),
+            valid=det.valid.reshape(-1),
+            amplitude=det.amplitude.reshape(-1),
+            phase=det.phase.reshape(-1),
+            freq=det.freq.reshape(-1),
+            freq_bin=det.freq_bin.reshape(-1),
+            time_est=det.time_est.reshape(-1),
+            noise_power=det.noise_power.reshape(-1),
+            esn0_db=det.esn0_db.reshape(-1),
+            overflow=jnp.any(det.overflow),
+        )
+        hdr, _ = self.decode_headers(x, detf, chan)
+        extent = packet_extent_samples(
+            hdr.packet_length, hdr.header_ok, self.config.samples_per_symbol
+        )
+        _, keep = jax.vmap(
+            lambda i, v, e: suppress_overlapping(i, v, e, i[0] * 0 - 1)
+        )(det.index, det.valid, extent.reshape(c, dd))
+        keep = keep.reshape(-1)
+        res = self.decode_payloads(x, detf, hdr, keep, chan)
+        return detf, hdr, res, keep
+
+    @partial(jax.jit, static_argnums=0)
+    def bank_step(
+        self, x: jax.Array
+    ) -> tuple[Detections, HeaderResult, PayloadResult, jax.Array]:
+        """Acquire + decode a whole channel bank ``[C, N]`` (acquisition
+        vmapped per channel — it is block-parallel and keeps full lane
+        utilization per instance; the decode passes run lane-packed)."""
+        det = jax.vmap(lambda xc: self.acquirer.acquire(xc))(x)
+        return self.decode_bank(x, det)
+
     # -------------------------------------------- feed-forward carrier track
 
     def _vv_track(
@@ -497,13 +577,18 @@ class Receiver:
 
     @partial(jax.jit, static_argnums=0)
     def decode_payloads(
-        self, x: jax.Array, det: Detections, hdr: HeaderResult, keep: jax.Array
+        self,
+        x: jax.Array,
+        det: Detections,
+        hdr: HeaderResult,
+        keep: jax.Array,
+        chan: jax.Array | None = None,
     ) -> PayloadResult:
         cfg = self.config
         s_pay = cfg.max_payload_syms
         syms = self._extract_symbols(
             x, hdr.n_base, hdr.arm, det.freq, det.index, hdr.amp_scale,
-            _HEADER_REGION_SYMS, s_pay,
+            _HEADER_REGION_SYMS, s_pay, chan,
         )
         if cfg.payload_carrier == "vv":
             corrected = self._vv_track(syms, hdr.phase, hdr.freq)

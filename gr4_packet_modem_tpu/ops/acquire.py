@@ -298,7 +298,13 @@ class SyncwordAcquirer:
     # -------------------------------------------------------------- detection
 
     @partial(jax.jit, static_argnums=0)
-    def acquire(self, x: jax.Array, index0: jax.Array = 0) -> Detections:
+    def acquire(
+        self,
+        x: jax.Array,
+        index0: jax.Array = 0,
+        fresh_lo: jax.Array | None = None,
+        fresh_hi: jax.Array | None = None,
+    ) -> Detections:
         """Detect syncwords in a sample block.
 
         x: complex64 ``[T]``. Correlations are computed for syncword starts in
@@ -306,6 +312,13 @@ class SyncwordAcquirer:
         detection needs ``time_threshold`` margin on both sides, so only
         starts in ``[W, T_corr - W)`` are eligible. ``index0`` is added to the
         reported indices (absolute stream coordinates).
+
+        ``fresh_lo``/``fresh_hi`` (optional) restrict eligible syncword
+        starts to ``[fresh_lo, fresh_hi)`` *before* candidate selection: a
+        streaming driver whose buffer carries look-back/look-ahead overlap
+        hands only the fresh region's peaks to the top-k, so stale and
+        lookahead peaks neither consume ``max_detections`` slots nor trip
+        the overflow flag (they are re-seen when their own block is fresh).
         """
         cfg = self.config
         backend = cfg.resolved_backend()
@@ -326,13 +339,30 @@ class SyncwordAcquirer:
         # exclude edges without full windows
         pos = jnp.arange(tlen)
         is_peak &= (pos >= w) & (pos < tlen - w)
+        if fresh_lo is not None:
+            is_peak &= pos >= fresh_lo
+        if fresh_hi is not None:
+            is_peak &= pos < fresh_hi
         # candidate selection (static top-k by power). Window maxima are
         # necessarily > w apart, so each w-sized chunk holds at most one
         # peak: top_k runs over the ~T/w chunk maxima instead of the full
         # sample axis (identical result, ~w x less sort work).
+        #
+        # The CFAR test runs on a 2d candidate POOL and the final d slots go
+        # to the top-d *CFAR-passing* peaks: a weak real syncword cannot be
+        # evicted from the slot set by stronger non-passing correlation
+        # sidelobes, and the overflow flag counts actual qualifying
+        # detections (not raw window maxima, which exist ~every w samples on
+        # any signal and made the old flag fire on every large block).
         d = cfg.max_detections
         cand_pow = jnp.where(is_peak, best_pow, -1.0)
         nch = tlen // w
+        if nch >= 2 * d:
+            k2 = 2 * d
+        elif nch >= d:
+            k2 = nch
+        else:  # tiny buffers: fewer chunks than detection slots
+            k2 = min(2 * d, tlen)
         if nch >= d:
             chunks = cand_pow[: nch * w].reshape(nch, w)
             cmax = jnp.max(chunks, axis=1)
@@ -340,19 +370,13 @@ class SyncwordAcquirer:
                 jnp.argmax(chunks, axis=1).astype(jnp.int32)
                 + jnp.arange(nch, dtype=jnp.int32) * w
             )
-            top_pow, tsel = jax.lax.top_k(cmax, d)
-            top_idx = cidx[tsel]
-        else:  # tiny buffers: fewer chunks than detection slots
-            cmax = cand_pow
-            top_pow, top_idx = jax.lax.top_k(cand_pow, d)
-        cand_valid = top_pow > 0
-        # saturation flag: more window-max peaks exist than detection slots
-        # (the reference degrades via stream backpressure; here excess
-        # candidates would silently vanish, so the condition is surfaced)
-        overflow = jnp.sum((cmax > 0).astype(jnp.int32)) > d
-        # CFAR median-proxy test on gathered windows
-        thr = top_pow / cfg.power_threshold
-        win_lo = jnp.maximum(top_idx, w) - w
+            pool_pow, psel = jax.lax.top_k(cmax, k2)
+            pool_idx = cidx[psel]
+        else:
+            pool_pow, pool_idx = jax.lax.top_k(cand_pow, k2)
+        # CFAR median-proxy test on the gathered pool windows
+        thr = pool_pow / cfg.power_threshold
+        win_lo = jnp.maximum(pool_idx, w) - w
         from .fetch_pallas import fetch_enabled, fetch_rows
 
         if jax.default_backend() == "tpu" and fetch_enabled():
@@ -368,7 +392,24 @@ class SyncwordAcquirer:
 
             below = jax.vmap(below_count)(win_lo, thr)
         hist_size = 2 * w + 1
-        cand_valid &= 2 * below >= hist_size
+        passing = (pool_pow > 0) & (2 * below >= hist_size)
+        # saturation flag: more qualifying detections than slots (the
+        # reference degrades via stream backpressure; here excess detections
+        # would silently vanish, so the condition is surfaced). Exact
+        # whenever <= 2d peaks pass, and still fires when more do.
+        overflow = jnp.sum(passing.astype(jnp.int32)) > d
+        # final slots: top-d passing peaks by power
+        score = jnp.where(passing, pool_pow, -1.0)
+        if k2 >= d:
+            top_pow, sel = jax.lax.top_k(score, d)
+            top_idx = pool_idx[sel]
+        else:  # k2 < d only for degenerate tiny buffers: pad the pool
+            pad = d - k2
+            top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
+            top_idx = jnp.concatenate(
+                [pool_idx, jnp.zeros((pad,), jnp.int32)]
+            )
+        cand_valid = top_pow > 0
         # ---------------- parameter estimation at candidates
         nb = self.num_bins
         bin_spacing = np.float32(np.pi / self.sync_len)

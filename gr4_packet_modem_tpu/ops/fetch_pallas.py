@@ -25,12 +25,54 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fetch_regions", "fetch_enabled"]
 
 
+_PROBE_VERDICT: bool | None = None
+_PROBE_CACHE = "/tmp/pm_fetch_probe"
+
+
+def _probe() -> bool:
+    """Try-compile the single-plane fetch kernel once on the live backend.
+    The dev environment's *chipless* remote AOT compiler rejects
+    make_async_copy kernels (tpu_compile_helper exits 1); a production
+    toolchain with device context compiles them fine — so the capability is
+    probed, not assumed (VERDICT r2 next-step 10)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        out = fetch_rows(
+            jnp.zeros(512, jnp.float32), jnp.zeros(2, jnp.int32), 128
+        )
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
 def fetch_enabled() -> bool:
-    """Manual-DMA kernels cannot be built by this environment's *chipless*
-    remote AOT compiler (tpu_compile_helper exits 1 on make_async_copy
-    kernels), so the fetch path is opt-in: set PM_PALLAS_FETCH=1 on
-    deployments whose compiler has device context."""
-    return os.environ.get("PM_PALLAS_FETCH", "0") == "1"
+    """Whether the scalar-prefetch DMA fetch path is usable on this backend.
+
+    ``PM_PALLAS_FETCH=1/0`` forces the verdict; otherwise the kernel is
+    probe-compiled once per machine (verdict cached in-process and in
+    ``/tmp/pm_fetch_probe``), so deployments with a working Mosaic compiler
+    get the fast path automatically."""
+    global _PROBE_VERDICT
+    env = os.environ.get("PM_PALLAS_FETCH")
+    if env is not None:
+        return env == "1"
+    if _PROBE_VERDICT is None:
+        try:
+            with open(_PROBE_CACHE) as f:
+                _PROBE_VERDICT = f.read().strip() == "1"
+        except OSError:
+            _PROBE_VERDICT = _probe()
+            try:
+                with open(_PROBE_CACHE, "w") as f:
+                    f.write("1" if _PROBE_VERDICT else "0")
+            except OSError:
+                pass
+    return _PROBE_VERDICT
 
 
 def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):

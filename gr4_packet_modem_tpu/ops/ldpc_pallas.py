@@ -112,6 +112,11 @@ def _make_kernel(num_iterations: int, normalization: float, deg: int):
     return kernel
 
 
+# rows per grid step: ~20 live [ROW_BLOCK, 128] f32 planes inside the BP
+# iteration stay well under VMEM while the MXU matmuls remain full-width
+ROW_BLOCK = 256
+
+
 @partial(
     jax.jit, static_argnames=("num_iterations", "normalization", "interpret")
 )
@@ -121,18 +126,28 @@ def ldpc_totals_pallas(
     normalization: float = 0.75,
     interpret: bool = False,
 ) -> jax.Array:
-    """Final per-variable LLR totals after BP. llrs: float32 ``[B, 128]``."""
+    """Final per-variable LLR totals after BP. llrs: float32 ``[B, 128]``;
+    any B (tiled into ROW_BLOCK grid steps — a lane-packed receiver bank
+    decodes C x D headers in one call)."""
     scat, gath, mask, deg = _tables()
     b, n = llrs.shape
-    b_pad = -(-b // 8) * 8
+    row_block = min(ROW_BLOCK, -(-b // 8) * 8)
+    nrb = -(-b // row_block)
+    b_pad = nrb * row_block
     x = jnp.zeros((b_pad, n), jnp.float32).at[:b].set(
         llrs.astype(jnp.float32)
     )
     out = pl.pallas_call(
         _make_kernel(num_iterations, normalization, deg),
+        grid=(nrb,),
         out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((row_block, n), lambda i: (i, 0)),
+            pl.BlockSpec(scat.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(gath.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(mask.shape, lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((row_block, n), lambda i: (i, 0)),
         interpret=interpret,
     )(x, jnp.asarray(scat), jnp.asarray(gath), jnp.asarray(mask))
     return out[:b]

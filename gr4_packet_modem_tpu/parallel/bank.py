@@ -91,20 +91,19 @@ class ReceiverBank:
             )
             ext = jnp.concatenate([left, x_loc, right], axis=1)
 
-            def per_channel(xc):
-                import dataclasses
+            import dataclasses
 
-                det = rx.acquirer.acquire(xc, index0=0)
-                # own only detections starting inside this shard
-                own = (det.index >= lh) & (det.index < lh + t_loc)
-                det = dataclasses.replace(det, valid=det.valid & own)
-                hdr, _ = rx.decode_headers(xc, det)
-                keep = rx.filter_detections(det, hdr)
-                res = rx.decode_payloads(xc, det, hdr, keep)
-                return res
-
-            res = jax.vmap(per_channel)(ext)
-            return res
+            det = jax.vmap(lambda xc: rx.acquirer.acquire(xc, index0=0))(ext)
+            # own only detections starting inside this shard
+            own = (det.index >= lh) & (det.index < lh + t_loc)
+            det = dataclasses.replace(det, valid=det.valid & own)
+            # lane-packed decode: all local channels' detections in one batch
+            _, _, res, _ = rx.decode_bank(ext, det)
+            c_loc, dd = det.index.shape
+            # back to [C_loc, D, ...] rows for the (ch, time) out sharding
+            return jax.tree.map(
+                lambda a: a.reshape((c_loc, dd) + a.shape[1:]), res
+            )
 
         in_spec = P("ch", "time")
         out_spec = P("ch")  # per-channel results, time-sharded work reduced

@@ -62,12 +62,18 @@ class StreamingReceiver:
         header_tap=None,
         payload_tap=None,
         transfer_dtype=None,
+        pipeline_depth: int = 2,
     ):
         import dataclasses
 
         # optional reduced-precision h2d (see utils.cplx.to_device): halves
-        # the wire size on h2d-bandwidth-bound links
+        # (bf16) or quarters (int8) the wire size on h2d-bound links
         self.transfer_dtype = transfer_dtype
+        # blocks in flight before results are materialized: depth >= 2 hides
+        # the d2h materialization latency of block N behind the h2d + compute
+        # of blocks N+1..N+depth (the reference overlaps the same way via
+        # free-running ring buffers between scheduler threads)
+        self.pipeline_depth = max(1, int(pipeline_depth))
 
         self.header_tap = header_tap
         self.payload_tap = payload_tap
@@ -100,9 +106,13 @@ class StreamingReceiver:
         self._busy_dev = jnp.int32(-(1 << 30))
         self._pending = np.zeros(0, np.complex64)
         self.overflow_blocks = 0  # blocks whose acquisition saturated
-        # one-block-deep pipeline: results of block N are materialized on
-        # the host while block N+1 computes (SURVEY §7 hard-part 5)
-        self._inflight = None
+        # pipelined execution: results of block N are materialized on the
+        # host while blocks N+1..N+depth compute (SURVEY §7 hard-part 5)
+        self._inflight: list = []
+        # per-stage host wall times (seconds, cumulative) for separating the
+        # h2d wire ceiling from driver/step overhead (VERDICT r2 next-step 1)
+        self.stats = {"h2d_s": 0.0, "dispatch_s": 0.0, "materialize_s": 0.0,
+                      "blocks": 0}
         # symbol outputs cost extra d2h; only produced when a tap wants them
         self._with_syms = header_tap is not None or payload_tap is not None
         self._step = jax.jit(self._make_step())
@@ -111,11 +121,14 @@ class StreamingReceiver:
         rx = self.rx
 
         def step(buf, fresh_lo, fresh_hi, busy0):
-            det = rx.acquirer.acquire(buf)
-            import dataclasses
-
-            fresh = (det.index >= fresh_lo) & (det.index < fresh_hi)
-            det = dataclasses.replace(det, valid=det.valid & fresh)
+            # fresh-window restriction BEFORE candidate top-k: only syncword
+            # starts inside [fresh_lo, fresh_hi) compete for detection slots,
+            # so max_detections is sized by packets per *block* (not per
+            # overlap-extended buffer) and stale/lookahead peaks cannot
+            # saturate the cap (VERDICT r2 next-step 1)
+            det = rx.acquirer.acquire(
+                buf, fresh_lo=fresh_lo, fresh_hi=fresh_hi
+            )
             hdr, hdr_corrected = rx.decode_headers(buf, det)
             # header symbols as I/Q planes (complex d2h transfers are
             # unreliable on this backend); tiny: [D, 192, 2] float32
@@ -156,6 +169,8 @@ class StreamingReceiver:
 
     def process(self, samples: np.ndarray) -> list[DecodedPacket]:
         """Feed samples; returns packets decoded from newly-complete blocks."""
+        import time
+
         self._pending = np.concatenate(
             [self._pending, np.asarray(samples, np.complex64)]
         )
@@ -165,9 +180,10 @@ class StreamingReceiver:
                 self._pending[: self.block],
                 self._pending[self.block :],
             )
-            out.extend(
-                self._process_block(to_device(chunk, self.transfer_dtype))
-            )
+            t0 = time.perf_counter()
+            dev = to_device(chunk, self.transfer_dtype)
+            self.stats["h2d_s"] += time.perf_counter() - t0
+            out.extend(self._process_block(dev))
         return out
 
     def flush(self) -> list[DecodedPacket]:
@@ -188,10 +204,13 @@ class StreamingReceiver:
         return out
 
     def _process_block(self, chunk: jax.Array) -> list[DecodedPacket]:
+        import time
+
         # slide the fixed buffer left by one block, append the new chunk
+        t0 = time.perf_counter()
         self._buf = jnp.concatenate([self._buf[self.block :], chunk])
         self._abs_offset += self.block
-        # dispatch asynchronously; the previous block's results are
+        # dispatch asynchronously; completed blocks' results are
         # materialized below while this step runs on device
         outs = self._step(
             self._buf,
@@ -200,14 +219,25 @@ class StreamingReceiver:
             self._busy_dev,
         )
         self._busy_dev = outs[2]
-        prev, self._inflight = self._inflight, (outs, self._abs_offset)
-        if prev is None:
-            return []
-        return self._materialize(prev)
+        self._inflight.append((outs, self._abs_offset))
+        self.stats["dispatch_s"] += time.perf_counter() - t0
+        self.stats["blocks"] += 1
+        out: list[DecodedPacket] = []
+        while len(self._inflight) > self.pipeline_depth:
+            t0 = time.perf_counter()
+            out.extend(self._materialize(self._inflight.pop(0)))
+            self.stats["materialize_s"] += time.perf_counter() - t0
+        return out
 
     def _drain(self) -> list[DecodedPacket]:
-        prev, self._inflight = self._inflight, None
-        return self._materialize(prev) if prev is not None else []
+        import time
+
+        out: list[DecodedPacket] = []
+        while self._inflight:
+            t0 = time.perf_counter()
+            out.extend(self._materialize(self._inflight.pop(0)))
+            self.stats["materialize_s"] += time.perf_counter() - t0
+        return out
 
     def _materialize(self, inflight) -> list[DecodedPacket]:
         outs, abs_offset = inflight

@@ -58,17 +58,29 @@ def to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
+# fixed-point scale for int8 transfer planes: the modem's burst amplitude is
+# ~1 (BurstShaper ramps to unity), so +-127/64 = +-1.98 of headroom with a
+# 42 dB quantization SNR floor — far above the 20 dB operating Es/N0
+INT8_SCALE = 64.0
+
+
 def to_device(x: np.ndarray, transfer_dtype=None) -> jax.Array:
     """numpy -> device, transferring complex data as separate I/Q planes.
 
-    ``transfer_dtype=jnp.bfloat16`` halves the wire size of complex inputs
-    (planes are cast back to f32 on device). The ~45 dB quantization floor
-    sits far above the modem's operating Es/N0; use for h2d-bandwidth-bound
-    streaming (the dev tunnel moves ~17 MB/s)."""
+    ``transfer_dtype=jnp.bfloat16`` halves and ``jnp.int8`` quarters the
+    wire size of complex inputs (planes are cast back to f32 on device; int8
+    is fixed-point at INT8_SCALE). The quantization floors (~45 dB bf16,
+    ~42 dB int8) sit far above the modem's operating Es/N0; use for
+    h2d-bandwidth-bound streaming (the dev tunnel moves ~17 MB/s)."""
     x = np.asarray(x)
     if np.iscomplexobj(x):
         re = np.ascontiguousarray(x.real)
         im = np.ascontiguousarray(x.imag)
+        if transfer_dtype is not None and jnp.dtype(transfer_dtype) == jnp.int8:
+            q = lambda p: jnp.asarray(
+                np.clip(np.round(p * INT8_SCALE), -127, 127).astype(np.int8)
+            ).astype(jnp.float32) * jnp.float32(1.0 / INT8_SCALE)
+            return jax.lax.complex(q(re), q(im))
         if transfer_dtype is not None:
             re = jnp.asarray(re.astype(transfer_dtype)).astype(jnp.float32)
             im = jnp.asarray(im.astype(transfer_dtype)).astype(jnp.float32)
