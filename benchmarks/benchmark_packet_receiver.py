@@ -41,14 +41,10 @@ def main():
     xj = to_device(x)
 
     def rx_step(samples):
-        def per_channel(xc):
-            det = rx.acquirer.acquire(xc)
-            hdr, _ = rx.decode_headers(xc, det)
-            keep = rx.filter_detections(det, hdr)
-            res = rx.decode_payloads(xc, det, hdr, keep)
-            return res.accepted.sum()
-
-        return jax.vmap(per_channel)(samples)
+        # lane-packed bank decode (models/receiver.py::decode_bank)
+        det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(samples)
+        _, _, res, _ = rx.decode_bank(samples, det)
+        return res.accepted.sum()
 
     step = jax.jit(rx_step)
     dt, compile_s = time_fn(step, xj, iters=10)

@@ -52,7 +52,7 @@ from ..utils.firdes import rx_pfb_taps, rx_rrc_taps
 
 __all__ = [
     "RxConfig", "Receiver", "HeaderResult", "PayloadResult",
-    "packet_extent_samples", "suppress_overlapping",
+    "packet_extent_samples", "suppress_overlapping", "flatten_detections",
 ]
 
 _HEADER_REGION_SYMS = C.SYNCWORD_LEN + C.HEADER_SYMBOLS  # 192
@@ -90,6 +90,26 @@ def suppress_overlapping(
         return busy_until, keep
 
     return jax.lax.scan(step, busy0, (index, valid, extent))
+
+
+def flatten_detections(det: Detections) -> tuple[Detections, jax.Array]:
+    """Flatten per-channel detections ``[C, D]`` into one ``[C*D]`` batch
+    plus each row's channel id (channel-major row order)."""
+    c, dd = det.index.shape
+    chan = jnp.repeat(jnp.arange(c, dtype=jnp.int32), dd)
+    detf = Detections(
+        index=det.index.reshape(-1),
+        valid=det.valid.reshape(-1),
+        amplitude=det.amplitude.reshape(-1),
+        phase=det.phase.reshape(-1),
+        freq=det.freq.reshape(-1),
+        freq_bin=det.freq_bin.reshape(-1),
+        time_est=det.time_est.reshape(-1),
+        noise_power=det.noise_power.reshape(-1),
+        esn0_db=det.esn0_db.reshape(-1),
+        overflow=jnp.any(det.overflow),
+    )
+    return detf, chan
 
 
 @dataclass(frozen=True)
@@ -470,10 +490,10 @@ class Receiver:
 
     # ------------------------------------------------- lane-packed bank decode
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=(0, 3))
     def decode_bank(
-        self, x: jax.Array, det: Detections
-    ) -> tuple[Detections, HeaderResult, PayloadResult, jax.Array]:
+        self, x: jax.Array, det: Detections, upto: str = "full"
+    ) -> tuple:
         """Decode ALL channels' detections in one flat batch.
 
         ``x``: ``[C, N]`` complex64; ``det``: per-channel detections with
@@ -487,22 +507,14 @@ class Receiver:
         different channels must not suppress each other).
 
         Returns ``(det_flat, hdr, res, keep)`` with all fields flattened to
-        ``[C*D]`` rows ordered channel-major (row ``c*D + i``)."""
+        ``[C*D]`` rows ordered channel-major (row ``c*D + i``). ``upto``
+        truncates the pipeline for stage profiling: "headers" ->
+        ``(det_flat, hdr)``, "filter" -> ``(det_flat, hdr, keep)``."""
         c, dd = det.index.shape
-        chan = jnp.repeat(jnp.arange(c, dtype=jnp.int32), dd)
-        detf = Detections(
-            index=det.index.reshape(-1),
-            valid=det.valid.reshape(-1),
-            amplitude=det.amplitude.reshape(-1),
-            phase=det.phase.reshape(-1),
-            freq=det.freq.reshape(-1),
-            freq_bin=det.freq_bin.reshape(-1),
-            time_est=det.time_est.reshape(-1),
-            noise_power=det.noise_power.reshape(-1),
-            esn0_db=det.esn0_db.reshape(-1),
-            overflow=jnp.any(det.overflow),
-        )
+        detf, chan = flatten_detections(det)
         hdr, _ = self.decode_headers(x, detf, chan)
+        if upto == "headers":
+            return detf, hdr
         extent = packet_extent_samples(
             hdr.packet_length, hdr.header_ok, self.config.samples_per_symbol
         )
@@ -510,6 +522,8 @@ class Receiver:
             lambda i, v, e: suppress_overlapping(i, v, e, i[0] * 0 - 1)
         )(det.index, det.valid, extent.reshape(c, dd))
         keep = keep.reshape(-1)
+        if upto == "filter":
+            return detf, hdr, keep
         res = self.decode_payloads(x, detf, hdr, keep, chan)
         return detf, hdr, res, keep
 

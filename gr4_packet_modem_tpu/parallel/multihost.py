@@ -60,10 +60,15 @@ def measure_scaling(
     results = []
     base_per_chip = None
     all_devices = len(jax.devices())
+    seen = set()
     for n in device_counts:
         n = n or all_devices
-        if n > all_devices:
+        if n > all_devices or n in seen:
+            # a repeated device count measures nothing: two 1-device runs
+            # reporting "efficiency of itself" is not scaling evidence
+            # (VERDICT r2 weak #8) — skip instead of emitting a fake point
             continue
+        seen.add(n)
         mesh = make_mesh(n)
         ch = channels_per_device * mesh.devices.shape[0]
         block = signal_per_channel.size

@@ -78,20 +78,20 @@ def main():
     xj = to_device(x)
 
     def stage_fn(rx, upto):
-        def per_channel(xc):
-            det = rx.acquirer.acquire(xc)
+        # lane-packed bank path (decode_bank): acquisition vmapped per
+        # channel, decode truncated at the requested stage
+        def step(s2d):
+            det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
             if upto == "acquire":
                 return det.valid.sum()
-            hdr, _ = rx.decode_headers(xc, det)
+            outs = rx.decode_bank(s2d, det, upto)
             if upto == "headers":
-                return hdr.header_ok.sum()
-            keep = rx.filter_detections(det, hdr)
+                return outs[1].header_ok.sum()
             if upto == "filter":
-                return keep.sum()
-            res = rx.decode_payloads(xc, det, hdr, keep)
-            return res.accepted.sum()
+                return outs[2].sum()
+            return outs[2].accepted.sum()
 
-        return jax.jit(lambda s2d: jax.vmap(per_channel)(s2d))
+        return jax.jit(step)
 
     stages = [("acquire", stage_fn(rx, "acquire")),
               ("headers", stage_fn(rx, "headers")),

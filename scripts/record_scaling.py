@@ -72,16 +72,12 @@ def measure_halo_overhead(block_log2=18, channels=8, iters=10):
     def run(n):
         x = np.tile(sig[:n][None], (channels, 1))
         xj = to_device(x)
-        fn = jax.jit(
-            lambda s2d: jax.vmap(
-                lambda xc: rx.decode_payloads(
-                    xc,
-                    (d := rx.acquirer.acquire(xc)),
-                    (h := rx.decode_headers(xc, d)[0]),
-                    rx.filter_detections(d, h),
-                ).accepted.sum()
-            )(s2d)
-        )
+
+        def step(s2d):
+            det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
+            return rx.decode_bank(s2d, det)[2].accepted.sum()
+
+        fn = jax.jit(step)
         jax.block_until_ready(fn(xj))
         t0 = time.time()
         for _ in range(iters):
@@ -146,7 +142,7 @@ def run_dcn_proof():
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r02.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r03.json"
     record = {
         "device": str(jax.devices()[0]),
         "num_devices": len(jax.devices()),
