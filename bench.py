@@ -161,31 +161,29 @@ def main():
         n_pkts = len(srx.process(sig_unit))  # warm-up/compile
         s_iters = max(iters // 2, 5)
         blocks0 = srx.stats["blocks"]
+        stats0 = dict(srx.stats)  # steady-state deltas (exclude compile)
         t0 = time.time()
         for _ in range(s_iters):
             n_pkts += len(srx.process(sig_unit))
         n_pkts += len(srx._drain())  # materialize the pipelined tail
         dt_s = time.time() - t0
         blocks_timed = srx.stats["blocks"] - blocks0
+        stats1 = dict(srx.stats)
         n_pkts += len(srx.flush())  # decode the final blocks' lookahead
         expected = pkts_per_unit * (1 + s_iters)
         parity_ok = n_pkts == expected and srx.overflow_blocks == 0
         sustained = blocks_timed * block / dt_s if parity_ok else 0.0
-        st = srx.stats
-        nb = max(st["blocks"], 1)
+        nb = max(blocks_timed, 1)
+        per_block = lambda k: round(1e3 * (stats1[k] - stats0[k]) / nb, 2)
         sustained_info = {
             "sustained_xfer": xfer,
             "sustained_parity_ok": parity_ok,
             "sustained_expected_pkts": expected,
             "sustained_decoded_pkts": n_pkts,
             "sustained_overflow_blocks": srx.overflow_blocks,
-            "sustained_h2d_ms_per_block": round(1e3 * st["h2d_s"] / nb, 2),
-            "sustained_dispatch_ms_per_block": round(
-                1e3 * st["dispatch_s"] / nb, 2
-            ),
-            "sustained_materialize_ms_per_block": round(
-                1e3 * st["materialize_s"] / nb, 2
-            ),
+            "sustained_h2d_ms_per_block": per_block("h2d_s"),
+            "sustained_dispatch_ms_per_block": per_block("dispatch_s"),
+            "sustained_materialize_ms_per_block": per_block("materialize_s"),
         }
 
     result = {

@@ -21,7 +21,6 @@ sharded; no collective is needed on the data path beyond the halos.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ from ..models.receiver import (
 )
 from ..models.transmitter import Transmitter
 from ..utils import constants as C
-from ..utils.cplx import to_device, to_host
+from ..utils.cplx import to_host, to_transfer_planes
 from ..utils.ragged import PacketBatch, ragged_concat
 
 __all__ = [
@@ -115,12 +115,24 @@ class StreamingReceiver:
                       "blocks": 0}
         # symbol outputs cost extra d2h; only produced when a tap wants them
         self._with_syms = header_tap is not None or payload_tap is not None
-        self._step = jax.jit(self._make_step())
+        # the sliding buffer is donated to the step (updated in place on
+        # device); dequantization of the wire planes, the buffer shift and
+        # the output packing all live INSIDE the jit — every unjitted device
+        # op costs a ~3 ms tunnel round-trip (measured round 3)
+        self._step = jax.jit(self._make_step(), donate_argnums=0)
 
     def _make_step(self):
         rx = self.rx
+        from ..utils.cplx import planes_to_complex
 
-        def step(buf, fresh_lo, fresh_hi, busy0):
+        fresh_lo = jnp.int32(self.fp)
+        fresh_hi = jnp.int32(self.fp + self.block)
+
+        def step(buf, chunk_planes, busy0):
+            # dequantize the wire planes and slide the buffer INSIDE the jit
+            # (buf is donated: updated in place on device)
+            chunk = planes_to_complex(chunk_planes)
+            buf = jnp.concatenate([buf[self.block :], chunk])
             # fresh-window restriction BEFORE candidate top-k: only syncword
             # starts inside [fresh_lo, fresh_hi) compete for detection slots,
             # so max_detections is sized by packets per *block* (not per
@@ -147,11 +159,10 @@ class StreamingReceiver:
             # busy state pre-shifted into the next block's local coordinates
             block = jnp.int32(self.block)
             busy_next = jnp.maximum(busy_end - block, -(1 << 30))
-            # pack the per-packet metadata into ONE 1-D f32 array: the
-            # tunnel's d2h costs ~9 ms of latency PER TRANSFER (and 2-D f32
-            # arrays hit a pathologically slow path), so the host pulls one
-            # flat array + the u8 data matrix per block instead of seven
-            # arrays
+            # pack metadata AND payload bytes into ONE 1-D u8 array: each
+            # d2h transfer through the tunnel pays ~9+ ms of latency, so the
+            # host pulls a single flat byte buffer per block (f32 metadata
+            # bitcast to bytes, then the payload byte matrix)
             f32 = jnp.float32
             meta = jnp.concatenate([
                 det.index.astype(f32),
@@ -161,9 +172,11 @@ class StreamingReceiver:
                 res.accepted.astype(f32),
                 det.overflow.astype(f32)[None],
             ])
+            meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
+            packed = jnp.concatenate([meta_u8, res.data.reshape(-1)])
             if self._with_syms:
-                return res.data, meta, busy_next, hdr_syms, res.symbols
-            return res.data, meta, busy_next
+                return buf, packed, busy_next, hdr_syms, res.symbols
+            return buf, packed, busy_next
 
         return step
 
@@ -181,9 +194,13 @@ class StreamingReceiver:
                 self._pending[self.block :],
             )
             t0 = time.perf_counter()
-            dev = to_device(chunk, self.transfer_dtype)
+            # ONE contiguous [2, block] wire array (single h2d transfer);
+            # dequantization happens inside the jitted step
+            planes = jnp.asarray(
+                to_transfer_planes(chunk, self.transfer_dtype)
+            )
             self.stats["h2d_s"] += time.perf_counter() - t0
-            out.extend(self._process_block(dev))
+            out.extend(self._process_block(planes))
         return out
 
     def flush(self) -> list[DecodedPacket]:
@@ -203,21 +220,16 @@ class StreamingReceiver:
         out.extend(self._drain())
         return out
 
-    def _process_block(self, chunk: jax.Array) -> list[DecodedPacket]:
+    def _process_block(self, planes: jax.Array) -> list[DecodedPacket]:
         import time
 
-        # slide the fixed buffer left by one block, append the new chunk
         t0 = time.perf_counter()
-        self._buf = jnp.concatenate([self._buf[self.block :], chunk])
         self._abs_offset += self.block
-        # dispatch asynchronously; completed blocks' results are
-        # materialized below while this step runs on device
-        outs = self._step(
-            self._buf,
-            jnp.int32(self.fp),
-            jnp.int32(self.fp + self.block),
-            self._busy_dev,
-        )
+        # dispatch asynchronously (buffer slide + dequant inside the jit);
+        # completed blocks' results are materialized below while this step
+        # runs on device
+        outs = self._step(self._buf, planes, self._busy_dev)
+        self._buf = outs[0]
         self._busy_dev = outs[2]
         self._inflight.append((outs, self._abs_offset))
         self.stats["dispatch_s"] += time.perf_counter() - t0
@@ -241,9 +253,13 @@ class StreamingReceiver:
 
     def _materialize(self, inflight) -> list[DecodedPacket]:
         outs, abs_offset = inflight
-        data_dev, meta_dev = outs[0], outs[1]
+        packed_dev = outs[1]
         d = self.rx.config.max_detections
-        meta = np.asarray(meta_dev)  # ONE d2h for all per-packet metadata
+        max_len = self.rx.config.max_payload_len
+        packed = np.asarray(packed_dev)  # ONE d2h for metadata AND payloads
+        meta_bytes = 4 * (5 * d + 1)
+        meta = packed[:meta_bytes].view(np.float32)
+        data = packed[meta_bytes:].reshape(d, max_len)
         idxs = meta[0 * d : 1 * d].astype(np.int64)
         lens = meta[1 * d : 2 * d].astype(np.int64)
         types = meta[2 * d : 3 * d].astype(np.int64)
@@ -263,7 +279,6 @@ class StreamingReceiver:
                 )
         out = []
         if accepted.any():
-            data = np.asarray(data_dev)
             if self.header_tap is not None:
                 hs = np.asarray(outs[3])  # [D, 192, 2]
             if self.payload_tap is not None:
