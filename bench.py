@@ -95,12 +95,12 @@ def main():
 
     xj = to_device(x)
 
+    # lane-packed bank decode with channel-group pipelining (bounds the
+    # working set past 16 channels — see Receiver.bank_step / PERF_R3.md)
+    group = int(os.environ.get("BENCH_GROUP", "16"))
+
     def rx_step(samples_2d):
-        # lane-packed bank decode: acquisition vmapped per channel, the
-        # decode passes run over all C x D detections in one flat batch
-        # (models/receiver.py::decode_bank)
-        det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(samples_2d)
-        _, _, res, _ = rx.decode_bank(samples_2d, det)
+        _, _, res, _ = rx.bank_step(samples_2d, group)
         return res.accepted.sum(), res.crc_ok.sum()
 
     step = jax.jit(rx_step)

@@ -6,7 +6,7 @@ Mirrors the intent of the reference's runtime-behavior examples
 framework analogue of a running flowgraph is a `StreamingReceiver` fed
 fixed-size blocks from any sample source — here a file-less in-memory
 stream chopped into odd-sized chunks to show the overlap carry, the
-one-block pipeline, and `flush()` draining the tail."""
+depth-2 block pipeline, and `flush()` draining the tail."""
 
 import os
 import sys

@@ -92,6 +92,20 @@ def suppress_overlapping(
     return jax.lax.scan(step, busy0, (index, valid, extent))
 
 
+def flatten_grouped_results(
+    detg: Detections, hdrg, resg, keepg
+) -> tuple[Detections, "HeaderResult", "PayloadResult", jax.Array]:
+    """Merge the leading group axis of per-group decode_bank results back
+    into flat [C*D] rows (channel-group pipelining, Receiver.bank_step)."""
+    # explicit merged dim: -1 is ill-defined for 0-size fields (symbols)
+    flat = lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+    dch = detg.tree_flatten()[0]
+    detf = Detections(*[flat(a) for a in dch[:-1]], jnp.any(dch[-1]))
+    hdr = HeaderResult(*[flat(a) for a in hdrg.tree_flatten()[0]])
+    res = PayloadResult(*[flat(a) for a in resg.tree_flatten()[0]])
+    return detf, hdr, res, flat(keepg)
+
+
 def flatten_detections(det: Detections) -> tuple[Detections, jax.Array]:
     """Flatten per-channel detections ``[C, D]`` into one ``[C*D]`` batch
     plus each row's channel id (channel-major row order)."""
@@ -527,15 +541,32 @@ class Receiver:
         res = self.decode_payloads(x, detf, hdr, keep, chan)
         return detf, hdr, res, keep
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=(0, 2))
     def bank_step(
-        self, x: jax.Array
+        self, x: jax.Array, group: int = 16
     ) -> tuple[Detections, HeaderResult, PayloadResult, jax.Array]:
         """Acquire + decode a whole channel bank ``[C, N]`` (acquisition
         vmapped per channel — it is block-parallel and keeps full lane
-        utilization per instance; the decode passes run lane-packed)."""
-        det = jax.vmap(lambda xc: self.acquirer.acquire(xc))(x)
-        return self.decode_bank(x, det)
+        utilization per instance; the decode passes run lane-packed).
+
+        ``group`` enables channel-group pipelining: banks wider than
+        ``group`` channels run as a ``lax.map`` over groups, bounding the
+        working set. Measured on v5e (PERF_R3.md): past ~16 channels the
+        monolithic program's >1 GB of [C*D, region] intermediates degrade
+        XLA's scheduling super-linearly (64ch = 296 Msps); 16-channel
+        groups restore it (64ch = 478 Msps) and compile ~50x faster. Set
+        ``group=0`` to force the monolithic program. Results are flattened
+        to the same [C*D]-row layout either way."""
+        if not (0 < group < x.shape[0] and x.shape[0] % group == 0):
+            det = jax.vmap(lambda xc: self.acquirer.acquire(xc))(x)
+            return self.decode_bank(x, det)
+        gs = x.reshape(x.shape[0] // group, group, x.shape[1])
+
+        def one(g):
+            det = jax.vmap(lambda xc: self.acquirer.acquire(xc))(g)
+            return self.decode_bank(g, det)
+
+        return flatten_grouped_results(*jax.lax.map(one, gs))
 
     # -------------------------------------------- feed-forward carrier track
 

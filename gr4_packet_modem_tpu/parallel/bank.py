@@ -50,6 +50,10 @@ class BankConfig:
     num_channels: int = 64
     block_samples: int = 1 << 17  # per time shard, per channel
     rx: RxConfig = RxConfig()
+    # channel-group pipelining within each device's local step: bounds the
+    # [C_loc*D, region] working set (Receiver.bank_step; PERF_R3.md —
+    # monolithic >16-channel programs degrade super-linearly on v5e)
+    channel_group: int = 16
 
 
 class ReceiverBank:
@@ -92,13 +96,29 @@ class ReceiverBank:
 
             import dataclasses
 
-            det = jax.vmap(lambda xc: rx.acquirer.acquire(xc, index0=0))(ext)
-            # own only detections starting inside this shard
-            own = (det.index >= lh) & (det.index < lh + t_loc)
-            det = dataclasses.replace(det, valid=det.valid & own)
-            # lane-packed decode: all local channels' detections in one batch
-            _, _, res, _ = rx.decode_bank(ext, det)
-            c_loc, dd = det.index.shape
+            from ..models.receiver import flatten_grouped_results
+
+            def decode_group(g):
+                det = jax.vmap(
+                    lambda xc: rx.acquirer.acquire(xc, index0=0)
+                )(g)
+                # own only detections starting inside this shard
+                own = (det.index >= lh) & (det.index < lh + t_loc)
+                det = dataclasses.replace(det, valid=det.valid & own)
+                # lane-packed decode: the group's detections in one batch
+                return rx.decode_bank(g, det)
+
+            c_loc = ext.shape[0]
+            cg = self.config.channel_group
+            if 0 < cg < c_loc and c_loc % cg == 0:
+                # channel-group pipelining (see BankConfig.channel_group)
+                outs = jax.lax.map(
+                    decode_group, ext.reshape(c_loc // cg, cg, ext.shape[1])
+                )
+                _, _, res, _ = flatten_grouped_results(*outs)
+            else:
+                _, _, res, _ = decode_group(ext)
+            dd = rx.config.max_detections
             # back to [C_loc, D, ...] rows for the (ch, time) out sharding
             return jax.tree.map(
                 lambda a: a.reshape((c_loc, dd) + a.shape[1:]), res

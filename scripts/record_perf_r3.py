@@ -37,6 +37,20 @@ CONFIGS = [
             "BENCH_SUSTAINED": "0",
         },
     ),
+    # channel-group pipelining (Receiver.bank_step group=16): the ch>16
+    # runs above were recorded with the monolithic program (BENCH_GROUP=0)
+    # to document the working-set regression; these are the shipping path
+    ("ch32_g16", {"BENCH_CHANNELS": "32", "BENCH_SUSTAINED": "0"}),
+    ("ch64_g16", {"BENCH_CHANNELS": "64", "BENCH_SUSTAINED": "0"}),
+    (
+        "ch64_costas_g16",
+        {
+            "BENCH_CHANNELS": "64",
+            "BENCH_CARRIER": "costas",
+            "BENCH_SUSTAINED": "0",
+        },
+    ),
+    ("ch128_g16", {"BENCH_CHANNELS": "128", "BENCH_SUSTAINED": "0"}),
 ]
 
 

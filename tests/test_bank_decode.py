@@ -117,6 +117,33 @@ def test_bank_decodes_all_packets(bank_signal):
     assert good == int(acc.sum())
 
 
+def test_bank_group_pipelining_matches_monolithic(bank_signal):
+    """Channel-group pipelining (bank_step group=N, a lax.map over channel
+    groups bounding the working set — the 64-channel fix, PERF_R3.md) must
+    produce the identical flattened [C*D] result rows as the monolithic
+    program."""
+    rx, x, payloads = bank_signal
+    xj = jnp.asarray(x)
+    mono = rx.bank_step(xj, 0)
+    grouped = rx.bank_step(xj, 1)  # 3 channels -> 3 groups of 1
+    for m, g in zip(jax.tree.leaves(mono), jax.tree.leaves(grouped)):
+        assert m.shape == g.shape
+    # exact-row comparisons on the decision outputs
+    np.testing.assert_array_equal(
+        np.asarray(mono[0].index), np.asarray(grouped[0].index)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono[2].accepted), np.asarray(grouped[2].accepted)
+    )
+    v = np.asarray(mono[0].valid)
+    np.testing.assert_array_equal(
+        np.asarray(mono[2].data)[v], np.asarray(grouped[2].data)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono[3]), np.asarray(grouped[3])
+    )
+
+
 def test_bank_suppression_is_per_channel():
     """Two channels with packets at overlapping indices: both must decode
     (cross-channel suppression would drop one)."""
