@@ -36,7 +36,10 @@ def main():
     from gr4_packet_modem_tpu.models.transmitter import Transmitter, TxConfig
     from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
 
-    channels = int(os.environ.get("BENCH_CHANNELS", "16"))
+    # default = the 64-channel north-star bank config (BASELINE.md); the
+    # channel-group pipeline (group=16) keeps per-chip rate at the 16-channel
+    # sweet spot at any width (docs/PERF_R3.md)
+    channels = int(os.environ.get("BENCH_CHANNELS", "64"))
     block = int(os.environ.get("BENCH_BLOCK", str(1 << 19)))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     # payload carrier tracking: the scan-free V&V estimator is the TPU
