@@ -332,83 +332,74 @@ class SyncwordAcquirer:
             best_pow = jnp.max(power, axis=0)  # [T']
             best_bin = jnp.argmax(power, axis=0).astype(jnp.int32)
         tlen = best_pow.shape[0]
-        # sliding-window maxima (centered, width 2w+1) and strict previous max
-        wmax = _sliding_max(best_pow, w, w)
-        prevmax = _sliding_max(best_pow, w, -1)  # window [t-w, t-1]
-        is_peak = (best_pow >= wmax) & (best_pow > prevmax)
-        # exclude edges without full windows
-        pos = jnp.arange(tlen)
-        is_peak &= (pos >= w) & (pos < tlen - w)
-        if fresh_lo is not None:
-            is_peak &= pos >= fresh_lo
-        if fresh_hi is not None:
-            is_peak &= pos < fresh_hi
-        # candidate selection (static top-k by power). Window maxima are
-        # necessarily > w apart, so each w-sized chunk holds at most one
-        # peak: top_k runs over the ~T/w chunk maxima instead of the full
-        # sample axis (identical result, ~w x less sort work).
+        # ---- chunked peak detection + CFAR (3-4 fused passes over best_pow
+        # instead of ~24 log-doubling sliding-max passes — the detect tail
+        # was the HBM-bound stage of the roofline, docs/PERF_R3.md).
         #
-        # The CFAR test runs on a 2d candidate POOL and the final d slots go
-        # to the top-d *CFAR-passing* peaks: a weak real syncword cannot be
-        # evicted from the slot set by stronger non-passing correlation
-        # sidelobes, and the overflow flag counts actual qualifying
-        # detections (not raw window maxima, which exist ~every w samples on
-        # any signal and made the old flag fire on every large block).
+        # Decomposition: a sample t is a detection event iff its best-bin
+        # power is >= everything in the centered window [t-w, t+w] and
+        # strictly > everything in [t-w, t-1] (first index wins ties —
+        # event-identical to the reference's running-best state machine,
+        # syncword_detection.hpp:267-298). Since that window always covers
+        # t's whole w-sized chunk, every event is its chunk's (first)
+        # argmax; with offset o = t - c*w the remaining window parts are a
+        # suffix of chunk c-1 from o (strictly past -> strict >) and a
+        # prefix of chunk c+1 through o (future -> >=). Both are evaluated
+        # for ALL chunk candidates at once as offset-masked row reductions,
+        # and the CFAR below-count decomposes over the same three rows, so
+        # the whole detector is a handful of elementwise passes over the
+        # [nch, w] chunk view with no gathers and no top-2d pool cutoff
+        # (every qualifying peak competes for the d slots directly).
         d = cfg.max_detections
-        cand_pow = jnp.where(is_peak, best_pow, -1.0)
-        nch = tlen // w
-        if nch >= 2 * d:
-            k2 = 2 * d
-        elif nch >= d:
-            k2 = nch
-        else:  # tiny buffers: fewer chunks than detection slots
-            k2 = min(2 * d, tlen)
-        if nch >= d:
-            chunks = cand_pow[: nch * w].reshape(nch, w)
-            cmax = jnp.max(chunks, axis=1)
-            cidx = (
-                jnp.argmax(chunks, axis=1).astype(jnp.int32)
-                + jnp.arange(nch, dtype=jnp.int32) * w
-            )
-            pool_pow, psel = jax.lax.top_k(cmax, k2)
-            pool_idx = cidx[psel]
-        else:
-            pool_pow, pool_idx = jax.lax.top_k(cand_pow, k2)
-        # CFAR median-proxy test on the gathered pool windows
-        thr = pool_pow / cfg.power_threshold
-        win_lo = jnp.maximum(pool_idx, w) - w
-        from .fetch_pallas import fetch_enabled, fetch_rows
-
-        if jax.default_backend() == "tpu" and fetch_enabled():
-            wins = fetch_rows(
-                best_pow, jnp.clip(win_lo, 0, tlen - (2 * w + 1)), 2 * w + 1
-            )
-            below = jnp.sum((wins < thr[:, None]).astype(jnp.int32), axis=-1)
-        else:
-
-            def below_count(i, th):
-                win = jax.lax.dynamic_slice(best_pow, (i,), (2 * w + 1,))
-                return jnp.sum((win < th).astype(jnp.int32))
-
-            below = jax.vmap(below_count)(win_lo, thr)
+        nch = max(tlen // w, 1)
+        pad_len = (nch + 1) * w - tlen
+        neg = jnp.float32(-jnp.inf)
+        bp_pad = jnp.concatenate(
+            [best_pow, jnp.full((pad_len,), neg, best_pow.dtype)]
+        )
+        chunks = bp_pad.reshape(nch + 1, w)
+        cur = chunks[:nch]  # [nch, w]
+        nxt = chunks[1 : nch + 1]
+        prv = jnp.concatenate(
+            [jnp.full((1, w), neg, best_pow.dtype), chunks[: nch - 1]]
+        )
+        b = jnp.max(cur, axis=1)  # candidate powers [nch]
+        o = jnp.argmax(cur, axis=1).astype(jnp.int32)[:, None]  # offsets
+        ti = o[:, 0] + jnp.arange(nch, dtype=jnp.int32) * w  # global index
+        off = jnp.arange(w, dtype=jnp.int32)[None, :]
+        suff_prev = jnp.max(jnp.where(off >= o, prv, neg), axis=1)
+        pref_next = jnp.max(jnp.where(off <= o, nxt, neg), axis=1)
+        is_peak = (b > suff_prev) & (b >= pref_next)
+        pos_ok = (ti >= w) & (ti < tlen - w)
+        if fresh_lo is not None:
+            pos_ok &= ti >= fresh_lo
+        if fresh_hi is not None:
+            pos_ok &= ti < fresh_hi
+        # CFAR median proxy: at least half the window below power/threshold.
+        # The window [t-w, t+w] = suffix(c-1 from o) + chunk c + prefix(c+1
+        # through o); masked-out lanes contribute False. (Candidates whose
+        # masks would touch the -inf padding are edge-excluded by pos_ok.)
+        thr = (b / cfg.power_threshold)[:, None]
+        below = (
+            jnp.sum(((prv < thr) & (off >= o)).astype(jnp.int32), axis=1)
+            + jnp.sum((cur < thr).astype(jnp.int32), axis=1)
+            + jnp.sum(((nxt < thr) & (off <= o)).astype(jnp.int32), axis=1)
+        )
         hist_size = 2 * w + 1
-        passing = (pool_pow > 0) & (2 * below >= hist_size)
+        passing = is_peak & pos_ok & (b > 0) & (2 * below >= hist_size)
         # saturation flag: more qualifying detections than slots (the
         # reference degrades via stream backpressure; here excess detections
-        # would silently vanish, so the condition is surfaced). Exact
-        # whenever <= 2d peaks pass, and still fires when more do.
+        # would silently vanish, so the condition is surfaced)
         overflow = jnp.sum(passing.astype(jnp.int32)) > d
         # final slots: top-d passing peaks by power
-        score = jnp.where(passing, pool_pow, -1.0)
-        if k2 >= d:
+        score = jnp.where(passing, b, -1.0)
+        if nch >= d:
             top_pow, sel = jax.lax.top_k(score, d)
-            top_idx = pool_idx[sel]
-        else:  # k2 < d only for degenerate tiny buffers: pad the pool
-            pad = d - k2
+            top_idx = ti[sel]
+        else:  # degenerate tiny buffers: fewer chunks than slots
+            pad = d - nch
             top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
-            top_idx = jnp.concatenate(
-                [pool_idx, jnp.zeros((pad,), jnp.int32)]
-            )
+            top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
         cand_valid = top_pow > 0
         # ---------------- parameter estimation at candidates
         nb = self.num_bins

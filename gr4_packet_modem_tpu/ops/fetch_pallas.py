@@ -15,7 +15,6 @@ The caller clips starts to [0, T - R]; derotation/filtering stay in XLA
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -100,14 +99,9 @@ def _kernel1(starts_ref, x_hbm, out_ref, sem):
     c.wait()
 
 
-@partial(jax.jit, static_argnames=("region_len", "interpret"))
-def fetch_rows(
-    x: jax.Array,
-    starts: jax.Array,
-    region_len: int,
-    interpret: bool = False,
+def _fetch_rows_impl(
+    x: jax.Array, starts: jax.Array, region_len: int, interpret: bool
 ) -> jax.Array:
-    """Single-plane variant of :func:`fetch_regions` (one DMA per window)."""
     d = starts.shape[0]
     rpad = -(-region_len // 128) * 128
     if rpad != region_len:
@@ -127,16 +121,56 @@ def fetch_rows(
     return out[:, 0, :region_len]
 
 
-@partial(jax.jit, static_argnames=("region_len", "interpret"))
-def fetch_regions(
+def fetch_rows(
+    x: jax.Array,
+    starts: jax.Array,
+    region_len: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-plane variant of :func:`fetch_regions` (one DMA per window).
+
+    vmap-safe: Pallas auto-batching cannot batch the SMEM scalar-prefetch
+    operand, so a custom batching rule flattens a batched call (e.g. the
+    per-channel vmap in the receiver bank) into ONE flat-grid kernel over the
+    row-major-flattened sample plane — exactly the lane-packed form the
+    kernel wants anyway."""
+
+    @jax.custom_batching.custom_vmap
+    def _f(x, starts):
+        return _fetch_rows_impl(x, starts, region_len, interpret)
+
+    @_f.def_vmap
+    def _rule(axis_size, in_batched, x, starts):  # noqa: ANN001
+        xb, sb = in_batched
+        if not sb:  # same windows from every row: broadcast the starts
+            starts_b = jnp.broadcast_to(starts, (axis_size,) + starts.shape)
+        else:
+            starts_b = starts
+        dd = starts_b.shape[-1]
+        if xb:
+            t = x.shape[-1]
+            xf = x.reshape(-1)
+            # per-row clipped starts address the flattened plane; the padded
+            # fetch tail may cross into the next row but only within the
+            # discarded [region_len, rpad) part
+            off = (jnp.arange(axis_size, dtype=jnp.int32) * t)[:, None]
+            sf = (starts_b.astype(jnp.int32) + off).reshape(-1)
+        else:
+            xf = x
+            sf = starts_b.reshape(-1)
+        out = _f(xf, sf)
+        return out.reshape(axis_size, dd, region_len), True
+
+    return _f(x, starts)
+
+
+def _fetch_regions_impl(
     xr: jax.Array,
     xi: jax.Array,
     starts: jax.Array,
     region_len: int,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fetch ``[D, region_len]`` I/Q planes at ``starts`` (int32 ``[D]``,
-    pre-clipped to ``[0, T - region_len]``)."""
     d = starts.shape[0]
     # TPU blocks need a 128-divisible trailing dim; regions are padded and
     # the input extended so the padded tail never reads out of bounds
@@ -168,3 +202,43 @@ def fetch_regions(
         interpret=interpret,
     )(starts.astype(jnp.int32), xr, xi)
     return outr[:, 0, :region_len], outi[:, 0, :region_len]
+
+
+def fetch_regions(
+    xr: jax.Array,
+    xi: jax.Array,
+    starts: jax.Array,
+    region_len: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fetch ``[D, region_len]`` I/Q planes at ``starts`` (int32 ``[D]``,
+    pre-clipped to ``[0, T - region_len]``).
+
+    vmap-safe via the same flat-grid batching rule as :func:`fetch_rows`."""
+
+    @jax.custom_batching.custom_vmap
+    def _f(xr, xi, starts):
+        return _fetch_regions_impl(xr, xi, starts, region_len, interpret)
+
+    @_f.def_vmap
+    def _rule(axis_size, in_batched, xr, xi, starts):  # noqa: ANN001
+        xrb, xib, sb = in_batched
+        assert xrb == xib, "I/Q planes must be batched together"
+        if not sb:
+            starts_b = jnp.broadcast_to(starts, (axis_size,) + starts.shape)
+        else:
+            starts_b = starts
+        dd = starts_b.shape[-1]
+        if xrb:
+            t = xr.shape[-1]
+            xrf, xif = xr.reshape(-1), xi.reshape(-1)
+            off = (jnp.arange(axis_size, dtype=jnp.int32) * t)[:, None]
+            sf = (starts_b.astype(jnp.int32) + off).reshape(-1)
+        else:
+            xrf, xif = xr, xi
+            sf = starts_b.reshape(-1)
+        outr, outi = _f(xrf, xif, sf)
+        shp = (axis_size, dd, region_len)
+        return (outr.reshape(shp), outi.reshape(shp)), (True, True)
+
+    return _f(xr, xi, starts)
