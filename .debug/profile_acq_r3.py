@@ -49,17 +49,30 @@ def corr_only(xc):
     return bp.sum() + bb.sum()
 
 
+def corr_bf16(xc):
+    bp, bb = acq._best_power_fused(xc, bf16=True)
+    return bp.sum() + bb.sum()
+
+
 def acquire_full(xc):
     det = acq.acquire(xc)
     return det.index.sum() + det.valid.sum() + det.amplitude.sum()
 
 
+rx_bf16 = Receiver(RxConfig(max_payload_len=1536, max_detections=32,
+                            freq_bins=4, payload_carrier="vv",
+                            acquisition_backend="fused_bf16"))
+
 stages = {
     "fwd_fft": jax.jit(lambda s2d: jax.vmap(fwd_fft)(s2d).sum()),
     "corr_only": jax.jit(lambda s2d: jax.vmap(corr_only)(s2d).sum()),
+    "corr_bf16": jax.jit(lambda s2d: jax.vmap(corr_bf16)(s2d).sum()),
     "acquire_full": jax.jit(lambda s2d: jax.vmap(acquire_full)(s2d).sum()),
     "bank_step": jax.jit(
         lambda s2d: rx.bank_step(s2d)[2].accepted.sum()
+    ),
+    "bank_step_bf16": jax.jit(
+        lambda s2d: rx_bf16.bank_step(s2d)[2].accepted.sum()
     ),
 }
 which = os.environ.get("STAGES")

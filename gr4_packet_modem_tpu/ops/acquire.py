@@ -69,6 +69,9 @@ class AcquisitionConfig:
     #   "fused"     Pallas kernel: per-bin product+iFFT+power reduced in
     #               VMEM (ops/acquire_pallas.py) — detection-identical to
     #               fft, ~1.8x faster on TPU
+    #   "fused_bf16" same kernel with bf16 matmul inputs / f32 accumulation
+    #               (4x MXU rate on the bulk contraction; candidate phase /
+    #               adjacent powers still recomputed exactly at f32)
     #   "fft"       overlap-save FFT, as the reference
     #   "conv"      the correlation as a real 2-plane MXU convolution (f32)
     #   "conv_bf16" same with bf16 inputs / f32 accumulation
@@ -139,7 +142,7 @@ class SyncwordAcquirer:
                 f"fft_size must be >= {2 * (self.sync_len - 1)} "
                 f"(2*(sync_len-1)) for the overlap-save framing"
             )
-        if config.backend == "fused" and n % 2048 != 0:
+        if config.backend in ("fused", "fused_bf16") and n % 2048 != 0:
             raise ValueError(
                 "the fused backend needs fft_size to be a multiple of 2048 "
                 "(N = 16 x N2 factorization with 128-lane-aligned N2); use "
@@ -220,7 +223,9 @@ class SyncwordAcquirer:
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
 
-    def _best_power_fused(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def _best_power_fused(
+        self, x: jax.Array, bf16: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
         """best-bin power/bin per sample via the fused Pallas correlator
         (ops/acquire_pallas.py): per-bin product+iFFT+power never leave
         VMEM. Returns (best_pow [T'], best_bin [T'])."""
@@ -232,6 +237,7 @@ class SyncwordAcquirer:
         bp, bb = fused_best_power(
             frames, rfr, rfi, self.config.fft_size,
             interpret=jax.default_backend() != "tpu",
+            bf16=bf16,
         )
         return bp[:, :s].reshape(-1), bb[:, :s].reshape(-1)
 
@@ -323,8 +329,10 @@ class SyncwordAcquirer:
         cfg = self.config
         backend = cfg.resolved_backend()
         w = cfg.time_threshold
-        if backend == "fused":
-            best_pow, best_bin_flat = self._best_power_fused(x)
+        if backend.startswith("fused"):
+            best_pow, best_bin_flat = self._best_power_fused(
+                x, bf16=backend == "fused_bf16"
+            )
             corr = power = None
         else:
             corr = self.correlate(x)  # [nb, T']
@@ -406,7 +414,7 @@ class SyncwordAcquirer:
         bin_spacing = np.float32(np.pi / self.sync_len)
         ti = top_idx
         b = top_pow
-        if backend == "fused":
+        if backend.startswith("fused"):
             # the kernel reduces to best-bin power only; adjacent-bin powers
             # and the complex value at the peak are recomputed exactly at
             # the <= D candidate points by direct correlation
@@ -425,7 +433,7 @@ class SyncwordAcquirer:
         )
         delta_freq = jnp.where(interior, quad * bin_spacing, 0.0)
         freq = (bi - cfg.freq_bins).astype(jnp.float32) * bin_spacing + delta_freq
-        if backend != "fused":
+        if not backend.startswith("fused"):
             from ..utils.cplx import cgather
 
             phase_raw = jnp.angle(cgather(corr, bi, ti))

@@ -60,7 +60,7 @@ def _inv_tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def _make_kernel(nb: int, n2: int, bf: int):
+def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
     def kernel(
         y2r_ref, y2i_ref,   # [16, BF, N2] spectrum block (k1, frame, k2)
         rr_ref, ri_ref,     # [nb, 16, 1, N2] conj replica spectrum
@@ -74,8 +74,19 @@ def _make_kernel(nb: int, n2: int, bf: int):
         w2r, w2i = w2r_ref[:], w2i_ref[:]
         twr, twi = twr_ref[:], twi_ref[:]
         w1r, w1i = w1r_ref[:], w1i_ref[:]
+        if bf16:
+            # bf16 matmul inputs, f32 accumulation: the MXU runs bf16 at 4x
+            # its f32 rate and the kernel is bound by the bulk [.,N2]@[N2,N2]
+            # contraction. ~2^-8 relative error on powers only moves
+            # detection decisions/interpolation ratios (phase and adjacent
+            # powers are recomputed exactly at the few candidates by
+            # _corr_points); PER parity is gated in tests/test_per_snr.py.
+            w2r, w2i = w2r.astype(jnp.bfloat16), w2i.astype(jnp.bfloat16)
+            w1r, w1i = w1r.astype(jnp.bfloat16), w1i.astype(jnp.bfloat16)
 
         def dot(a, b):
+            if bf16:
+                a = a.astype(jnp.bfloat16)
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
         pmax = jnp.full((_N1, bf, n2), -1.0, jnp.float32)
@@ -101,7 +112,10 @@ def _make_kernel(nb: int, n2: int, bf: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("fft_size", "interpret", "block_frames"))
+@partial(
+    jax.jit,
+    static_argnames=("fft_size", "interpret", "block_frames", "bf16"),
+)
 def fused_best_power(
     frames: jax.Array,
     replica_fft_conj_r: jax.Array,
@@ -109,6 +123,7 @@ def fused_best_power(
     fft_size: int,
     interpret: bool = False,
     block_frames: int = 16,
+    bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best-bin correlation power per sample over all frequency bins.
 
@@ -147,7 +162,7 @@ def fused_best_power(
     const4 = lambda i: (0, 0, 0, 0)  # noqa: E731
     blk = lambda i: (0, i, 0)  # noqa: E731
     out_pow, out_bin = pl.pallas_call(
-        _make_kernel(nb, n2, bf),
+        _make_kernel(nb, n2, bf, bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_N1, bf, n2), blk, memory_space=pltpu.VMEM),

@@ -56,13 +56,14 @@ def test_fused_matches_fft_best_power(fft_size):
     np.testing.assert_array_equal(np.asarray(bb), bb_ref)
 
 
-def test_fused_acquire_detections_match():
+@pytest.mark.parametrize("backend", ["fused", "fused_bf16"])
+def test_fused_acquire_detections_match(backend):
     x = _multi_burst_signal()
     det_ref = SyncwordAcquirer(
         AcquisitionConfig(freq_bins=4, max_detections=8)
     ).acquire(x)
     det = SyncwordAcquirer(
-        AcquisitionConfig(freq_bins=4, max_detections=8, backend="fused")
+        AcquisitionConfig(freq_bins=4, max_detections=8, backend=backend)
     ).acquire(x)
     vref = np.asarray(det_ref.valid)
     v = np.asarray(det.valid)
@@ -75,17 +76,22 @@ def test_fused_acquire_detections_match():
     np.testing.assert_array_equal(
         np.asarray(det.freq_bin)[m], np.asarray(det_ref.freq_bin)[m]
     )
+    # bf16 matmul inputs perturb the kernel's power surface by ~2^-8
+    # relative; estimates derived from kernel powers (time_est via the
+    # neighbour-sample powers, amplitude via the peak power) wear that,
+    # while phase/freq come from exact f32 recomputation at the candidates
+    bf16 = backend == "fused_bf16"
     for field, tol in [
-        ("amplitude", 1e-3),
-        ("phase", 1e-3),
-        ("freq", 1e-6),
-        ("time_est", 1e-3),
-        ("esn0_db", 1e-2),
+        ("amplitude", 1e-2 if bf16 else 1e-3),
+        ("phase", 2e-2 if bf16 else 1e-3),
+        ("freq", 1e-4 if bf16 else 1e-6),
+        ("time_est", 5e-2 if bf16 else 1e-3),
+        ("esn0_db", 1e-1 if bf16 else 1e-2),
     ]:
         np.testing.assert_allclose(
             np.asarray(getattr(det, field))[m],
             np.asarray(getattr(det_ref, field))[m],
-            rtol=2e-3,
+            rtol=1e-2 if bf16 else 2e-3,
             atol=tol,
             err_msg=field,
         )
