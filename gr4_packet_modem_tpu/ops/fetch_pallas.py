@@ -25,15 +25,21 @@ __all__ = ["fetch_regions", "fetch_enabled"]
 
 
 _PROBE_VERDICT: bool | None = None
-_PROBE_CACHE = "/tmp/pm_fetch_probe"
+_PROBE_CACHE = "/tmp/pm_fetch_probe_v2"
 
 
 def _probe() -> bool:
-    """Try-compile the single-plane fetch kernel once on the live backend.
-    The dev environment's *chipless* remote AOT compiler rejects
-    make_async_copy kernels (tpu_compile_helper exits 1); a production
-    toolchain with device context compiles them fine — so the capability is
-    probed, not assumed (VERDICT r2 next-step 10)."""
+    """Try-compile the fetch kernel once on the live backend, at a
+    *representative* shape: an unaligned region length (the receiver fetches
+    297-tap syncword windows -> rpad 384) and an odd dynamic start. Mosaic
+    toolchains differ in what they accept — the r2-era chipless AOT compiler
+    rejected make_async_copy outright, while the current one compiles the
+    kernel but requires HBM->VMEM slice shapes aligned to the source tiling
+    (1024 for a 1-D f32 memref), which arbitrary-start sample windows cannot
+    satisfy. Probing a tiny aligned shape would report capability the
+    production shapes don't have (that bug shipped briefly in round 3), so
+    the probe mirrors production and the verdict is trusted either way
+    (VERDICT r2 next-step 10)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +47,9 @@ def _probe() -> bool:
         return False
     try:
         out = fetch_rows(
-            jnp.zeros(512, jnp.float32), jnp.zeros(2, jnp.int32), 128
+            jnp.zeros(8192, jnp.float32),
+            jnp.asarray([3, 517], jnp.int32),
+            297,
         )
         jax.block_until_ready(out)
         return True

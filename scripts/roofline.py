@@ -89,12 +89,13 @@ def stage_table(channels: int, block: int, max_det: int, freq_bins: int,
     add("acquire.correlate(fused)", 0.0, fft_flops + perbin, acq_bytes,
         f"{f} frames x {nb} bins, iFFT+power VMEM-resident")
 
-    # detect tail: sliding maxima (log-doubling passes) + candidate CFAR
-    passes = int(np.ceil(np.log2(768))) + 2
+    # detect tail: chunked peak + CFAR (offset-masked row reductions over
+    # the [nch, w] chunk view: prev/cur/next rows read ~once each)
+    passes = 4
     det_flops = c * t * 2 * passes
-    det_bytes = c * t * 4 * 2 * passes
+    det_bytes = c * t * 4 * passes
     add("acquire.detect", 0.0, det_flops, det_bytes,
-        f"{passes} doubling passes over best_pow")
+        f"~{passes} fused chunk-reduction passes over best_pow")
 
     # header extraction: fetch regions + derotate + grouped conv
     ext_h_vpu = cd * r_hdr * 12                      # trig derotation

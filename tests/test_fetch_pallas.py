@@ -1,9 +1,10 @@
 """DMA region-fetch kernel (ops/fetch_pallas.py), interpret mode.
 
-The kernel itself cannot be compiled by this environment's chipless remote
-AOT compiler (gated off on TPU by default, PM_PALLAS_FETCH=1 to enable);
-its correctness contract is pinned here so enabling it on a capable
-deployment is a config flip, not a code change.
+On TPU the kernel is probe-enabled at runtime (fetch_enabled tries one
+compile and caches the verdict — toolchains without device context reject
+make_async_copy kernels). Its correctness contract, including the
+custom_vmap batching rule the receiver bank relies on, is pinned here in
+interpret mode so every deployment exercises the same code path.
 """
 
 import numpy as np
