@@ -1,8 +1,7 @@
-"""Acquisition sub-stage profile on TPU at bench shapes (16ch x 2^19).
+"""Decode-pass sub-stage profile on TPU at bench shapes (lane-packed path).
 
-Stages: fwd-FFT only, fused correlate (kernel incl. fwd FFT + transposes),
-full acquire (adds detect tail), full bank_step. Differences isolate the
-detect tail and the decode passes.
+Stages build cumulatively on the decode_bank(upto=...) hooks so differences
+isolate: acquisition, header pass, suppression filter, payload pass.
 """
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
@@ -18,6 +17,7 @@ from gr4_packet_modem_tpu.utils.ragged import PacketBatch, ragged_concat
 channels = int(os.environ.get("CH", "16"))
 block = 1 << int(os.environ.get("LOGBLOCK", "19"))
 iters = int(os.environ.get("ITERS", "10"))
+carrier = os.environ.get("CARRIER", "vv")
 
 tx = Transmitter(TxConfig(max_payload_len=1536))
 rng = np.random.default_rng(0)
@@ -28,61 +28,42 @@ stream, _ = ragged_concat(s, l, int(np.asarray(l).sum()))
 stream = to_host(stream)
 signal = np.tile(stream, block // stream.size + 1)[:block]
 rx = Receiver(RxConfig(max_payload_len=1536, max_detections=32, freq_bins=4,
-                       payload_carrier="vv"))
+                       payload_carrier=carrier))
 fp, pt = rx.front_pad, rx.pad_tail()
 x = np.zeros((channels, fp + block + pt), np.complex64)
 for c in range(channels):
     x[c, fp:fp + block] = signal * np.exp(1j * 0.1 * c)
 xj = to_device(x)
 
-acq = rx.acquirer
+
+def acquire_only(s2d):
+    det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
+    return det.index.sum() + det.valid.sum()
 
 
-def fwd_fft(xc):
-    fr = acq._frames(xc)
-    y = jnp.fft.fft(fr, axis=-1)
-    return jnp.abs(y).sum()
+def upto_headers(s2d):
+    det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
+    detf, hdr = rx.decode_bank(s2d, det, "headers")
+    return hdr.header_ok.sum() + hdr.n_base.sum()
 
 
-def corr_only(xc):
-    bp, bb = acq._best_power_fused(xc)
-    return bp.sum() + bb.sum()
+def upto_filter(s2d):
+    det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
+    detf, hdr, keep = rx.decode_bank(s2d, det, "filter")
+    return keep.sum() + hdr.header_ok.sum()
 
 
-def planes_only(xc):
-    n, s = acq.config.fft_size, acq.stride
-    f = (xc.shape[0] - n) // s + 1
-    fpad = -(-f // 16) * 16
-    xr, xi = acq._frames_planes(xc, fpad)
-    return xr.sum() + xi.sum()
+def full(s2d):
+    det = jax.vmap(lambda xc: rx.acquirer.acquire(xc))(s2d)
+    detf, hdr, res, keep = rx.decode_bank(s2d, det)
+    return res.accepted.sum()
 
-
-def corr_bf16(xc):
-    bp, bb = acq._best_power_fused(xc, bf16=True)
-    return bp.sum() + bb.sum()
-
-
-def acquire_full(xc):
-    det = acq.acquire(xc)
-    return det.index.sum() + det.valid.sum() + det.amplitude.sum()
-
-
-rx_bf16 = Receiver(RxConfig(max_payload_len=1536, max_detections=32,
-                            freq_bins=4, payload_carrier="vv",
-                            acquisition_backend="fused_bf16"))
 
 stages = {
-    "fwd_fft": jax.jit(lambda s2d: jax.vmap(fwd_fft)(s2d).sum()),
-    "corr_only": jax.jit(lambda s2d: jax.vmap(corr_only)(s2d).sum()),
-    "planes_only": jax.jit(lambda s2d: jax.vmap(planes_only)(s2d).sum()),
-    "corr_bf16": jax.jit(lambda s2d: jax.vmap(corr_bf16)(s2d).sum()),
-    "acquire_full": jax.jit(lambda s2d: jax.vmap(acquire_full)(s2d).sum()),
-    "bank_step": jax.jit(
-        lambda s2d: rx.bank_step(s2d)[2].accepted.sum()
-    ),
-    "bank_step_bf16": jax.jit(
-        lambda s2d: rx_bf16.bank_step(s2d)[2].accepted.sum()
-    ),
+    "acquire_only": jax.jit(acquire_only),
+    "upto_headers": jax.jit(upto_headers),
+    "upto_filter": jax.jit(upto_filter),
+    "full": jax.jit(full),
 }
 which = os.environ.get("STAGES")
 if which:

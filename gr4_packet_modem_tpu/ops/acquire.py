@@ -195,6 +195,41 @@ class SyncwordAcquirer:
         tail = shifted[: nf * s].reshape(nf, s)[:, : n - s]
         return jnp.concatenate([body, tail], axis=1)  # [F, N]
 
+    def _frames_planes(
+        self, x: jax.Array, fpad: int
+    ) -> tuple[jax.Array, jax.Array]:
+        """Overlap-save frames as I/Q planes, frame-major ``[FPAD, 16, N2]``
+        (the plain ``[F, N]`` frames reshaped — no transposes; the fused
+        kernel shuffles layouts in VMEM), zero-padded to ``fpad`` frames.
+        One gather-free body+tail copy per plane. (Two measured-worse
+        alternatives, docs/PERF_R3.md round-3b: slicing the 16 m1-rows
+        directly from the flat input — XLA materializes each
+        ``[fpad, stride]`` reshape — and host-side transposes into the
+        kernel's matmul layout, which alone cost ~5 ms of the 5.8 ms
+        correlate at 16ch x 2^19.)"""
+        n, s = self.config.fft_size, self.stride
+        n2 = n // 16
+        t = x.shape[0]
+        f = (t - n) // s + 1
+        need = f * s + n
+        xr, xi = x.real, x.imag
+        if need > t:
+            z = jnp.zeros(need - t, xr.dtype)
+            xr = jnp.concatenate([xr, z])
+            xi = jnp.concatenate([xi, z])
+
+        def plane(xf):
+            body = xf[: f * s].reshape(f, s)
+            tail = xf[s : s + f * s].reshape(f, s)[:, : n - s]
+            fr = jnp.concatenate([body, tail], axis=1)  # [F, N]
+            if fpad != f:
+                fr = jnp.concatenate(
+                    [fr, jnp.zeros((fpad - f, n), xf.dtype)], axis=0
+                )
+            return fr.reshape(fpad, 16, n2)
+
+        return plane(xr), plane(xi)
+
     def _replica_fft_conj(self) -> tuple[jax.Array, jax.Array]:
         """conj(FFT(zero-padded replicas)) as I/Q planes [nb, N], computed
         on-device from the small replica literal (embedding the full table
@@ -231,15 +266,19 @@ class SyncwordAcquirer:
         VMEM. Returns (best_pow [T'], best_bin [T'])."""
         from .acquire_pallas import fused_best_power
 
-        s = self.stride
-        frames = self._frames(x)
+        n, s = self.config.fft_size, self.stride
+        f = (x.shape[0] - n) // s + 1
+        bf = 16
+        fpad = -(-f // bf) * bf
+        xr, xi = self._frames_planes(x, fpad)
         rfr, rfi = self._replica_fft_conj()
         bp, bb = fused_best_power(
-            frames, rfr, rfi, self.config.fft_size,
+            xr, xi, rfr, rfi, n,
             interpret=jax.default_backend() != "tpu",
+            block_frames=bf,
             bf16=bf16,
         )
-        return bp[:, :s].reshape(-1), bb[:, :s].reshape(-1)
+        return bp[:f, :s].reshape(-1), bb[:f, :s].reshape(-1)
 
     def _corr_points(
         self, x: jax.Array, bins: jax.Array, times: jax.Array
@@ -340,74 +379,14 @@ class SyncwordAcquirer:
             best_pow = jnp.max(power, axis=0)  # [T']
             best_bin = jnp.argmax(power, axis=0).astype(jnp.int32)
         tlen = best_pow.shape[0]
-        # ---- chunked peak detection + CFAR (3-4 fused passes over best_pow
-        # instead of ~24 log-doubling sliding-max passes — the detect tail
-        # was the HBM-bound stage of the roofline, docs/PERF_R3.md).
-        #
-        # Decomposition: a sample t is a detection event iff its best-bin
-        # power is >= everything in the centered window [t-w, t+w] and
-        # strictly > everything in [t-w, t-1] (first index wins ties —
-        # event-identical to the reference's running-best state machine,
-        # syncword_detection.hpp:267-298). Since that window always covers
-        # t's whole w-sized chunk, every event is its chunk's (first)
-        # argmax; with offset o = t - c*w the remaining window parts are a
-        # suffix of chunk c-1 from o (strictly past -> strict >) and a
-        # prefix of chunk c+1 through o (future -> >=). Both are evaluated
-        # for ALL chunk candidates at once as offset-masked row reductions,
-        # and the CFAR below-count decomposes over the same three rows, so
-        # the whole detector is a handful of elementwise passes over the
-        # [nch, w] chunk view with no gathers and no top-2d pool cutoff
-        # (every qualifying peak competes for the d slots directly).
-        d = cfg.max_detections
-        nch = max(tlen // w, 1)
-        pad_len = (nch + 1) * w - tlen
-        neg = jnp.float32(-jnp.inf)
-        bp_pad = jnp.concatenate(
-            [best_pow, jnp.full((pad_len,), neg, best_pow.dtype)]
+        top_pow, top_idx, overflow = chunked_peak_detect(
+            best_pow,
+            w,
+            cfg.max_detections,
+            cfg.power_threshold,
+            fresh_lo,
+            fresh_hi,
         )
-        chunks = bp_pad.reshape(nch + 1, w)
-        cur = chunks[:nch]  # [nch, w]
-        nxt = chunks[1 : nch + 1]
-        prv = jnp.concatenate(
-            [jnp.full((1, w), neg, best_pow.dtype), chunks[: nch - 1]]
-        )
-        b = jnp.max(cur, axis=1)  # candidate powers [nch]
-        o = jnp.argmax(cur, axis=1).astype(jnp.int32)[:, None]  # offsets
-        ti = o[:, 0] + jnp.arange(nch, dtype=jnp.int32) * w  # global index
-        off = jnp.arange(w, dtype=jnp.int32)[None, :]
-        suff_prev = jnp.max(jnp.where(off >= o, prv, neg), axis=1)
-        pref_next = jnp.max(jnp.where(off <= o, nxt, neg), axis=1)
-        is_peak = (b > suff_prev) & (b >= pref_next)
-        pos_ok = (ti >= w) & (ti < tlen - w)
-        if fresh_lo is not None:
-            pos_ok &= ti >= fresh_lo
-        if fresh_hi is not None:
-            pos_ok &= ti < fresh_hi
-        # CFAR median proxy: at least half the window below power/threshold.
-        # The window [t-w, t+w] = suffix(c-1 from o) + chunk c + prefix(c+1
-        # through o); masked-out lanes contribute False. (Candidates whose
-        # masks would touch the -inf padding are edge-excluded by pos_ok.)
-        thr = (b / cfg.power_threshold)[:, None]
-        below = (
-            jnp.sum(((prv < thr) & (off >= o)).astype(jnp.int32), axis=1)
-            + jnp.sum((cur < thr).astype(jnp.int32), axis=1)
-            + jnp.sum(((nxt < thr) & (off <= o)).astype(jnp.int32), axis=1)
-        )
-        hist_size = 2 * w + 1
-        passing = is_peak & pos_ok & (b > 0) & (2 * below >= hist_size)
-        # saturation flag: more qualifying detections than slots (the
-        # reference degrades via stream backpressure; here excess detections
-        # would silently vanish, so the condition is surfaced)
-        overflow = jnp.sum(passing.astype(jnp.int32)) > d
-        # final slots: top-d passing peaks by power
-        score = jnp.where(passing, b, -1.0)
-        if nch >= d:
-            top_pow, sel = jax.lax.top_k(score, d)
-            top_idx = ti[sel]
-        else:  # degenerate tiny buffers: fewer chunks than slots
-            pad = d - nch
-            top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
-            top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
         cand_valid = top_pow > 0
         # ---------------- parameter estimation at candidates
         nb = self.num_bins
@@ -490,6 +469,93 @@ class SyncwordAcquirer:
             esn0_db=sel(esn0.astype(jnp.float32)),
             overflow=overflow,
         )
+
+
+def chunked_peak_detect(
+    best_pow: jax.Array,
+    w: int,
+    d: int,
+    power_threshold: float,
+    fresh_lo: jax.Array | None = None,
+    fresh_hi: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Windowed peak detection + CFAR as 3-4 fused passes over ``best_pow``
+    (instead of ~24 log-doubling sliding-max passes — the detect tail was
+    the HBM-bound stage of the roofline, docs/PERF_R3.md).
+
+    Semantics (event-identical to the reference's running-best state
+    machine, syncword_detection.hpp:267-298): sample ``t`` is a detection
+    event iff its power is >= everything in the centered window
+    ``[t-w, t+w]``, strictly > everything in ``[t-w, t-1]`` (first index
+    wins ties), both window halves exist (``w <= t < tlen-w``), and at
+    least half the window is below ``power/power_threshold`` (the CFAR
+    median proxy). The final ``d`` slots go to the top-d passing events by
+    power; ``overflow`` flags more passing events than slots.
+
+    Decomposition: the window always covers ``t``'s whole w-sized chunk, so
+    every event is its chunk's (first) argmax; with offset ``o = t - c*w``
+    the remaining window parts are a suffix of chunk ``c-1`` from ``o``
+    (strictly past -> strict >) and a prefix of chunk ``c+1`` through ``o``
+    (future -> >=). Both are evaluated for ALL chunk candidates at once as
+    offset-masked row reductions, and the CFAR below-count decomposes over
+    the same three rows — a handful of elementwise passes over the
+    ``[nch, w]`` chunk view with no gathers and no top-2d pool cutoff
+    (every qualifying event competes for the ``d`` slots directly).
+
+    Returns ``(top_pow [d], top_idx [d], overflow [])`` with empty slots
+    marked by ``top_pow == -1``.
+    """
+    tlen = best_pow.shape[0]
+    nch = max(tlen // w, 1)
+    pad_len = (nch + 1) * w - tlen
+    neg = jnp.float32(-jnp.inf)
+    bp_pad = jnp.concatenate(
+        [best_pow, jnp.full((pad_len,), neg, best_pow.dtype)]
+    )
+    chunks = bp_pad.reshape(nch + 1, w)
+    cur = chunks[:nch]  # [nch, w]
+    nxt = chunks[1 : nch + 1]
+    prv = jnp.concatenate(
+        [jnp.full((1, w), neg, best_pow.dtype), chunks[: nch - 1]]
+    )
+    b = jnp.max(cur, axis=1)  # candidate powers [nch]
+    o = jnp.argmax(cur, axis=1).astype(jnp.int32)[:, None]  # offsets
+    ti = o[:, 0] + jnp.arange(nch, dtype=jnp.int32) * w  # global index
+    off = jnp.arange(w, dtype=jnp.int32)[None, :]
+    suff_prev = jnp.max(jnp.where(off >= o, prv, neg), axis=1)
+    pref_next = jnp.max(jnp.where(off <= o, nxt, neg), axis=1)
+    is_peak = (b > suff_prev) & (b >= pref_next)
+    pos_ok = (ti >= w) & (ti < tlen - w)
+    if fresh_lo is not None:
+        pos_ok &= ti >= fresh_lo
+    if fresh_hi is not None:
+        pos_ok &= ti < fresh_hi
+    # CFAR median proxy: the window [t-w, t+w] = suffix(c-1 from o) +
+    # chunk c + prefix(c+1 through o); masked-out lanes contribute False.
+    # (Candidates whose masks would touch the -inf padding are
+    # edge-excluded by pos_ok.)
+    thr = (b / power_threshold)[:, None]
+    below = (
+        jnp.sum(((prv < thr) & (off >= o)).astype(jnp.int32), axis=1)
+        + jnp.sum((cur < thr).astype(jnp.int32), axis=1)
+        + jnp.sum(((nxt < thr) & (off <= o)).astype(jnp.int32), axis=1)
+    )
+    hist_size = 2 * w + 1
+    passing = is_peak & pos_ok & (b > 0) & (2 * below >= hist_size)
+    # saturation flag: more qualifying detections than slots (the
+    # reference degrades via stream backpressure; here excess detections
+    # would silently vanish, so the condition is surfaced)
+    overflow = jnp.sum(passing.astype(jnp.int32)) > d
+    # final slots: top-d passing peaks by power
+    score = jnp.where(passing, b, -1.0)
+    if nch >= d:
+        top_pow, sel = jax.lax.top_k(score, d)
+        top_idx = ti[sel]
+    else:  # degenerate tiny buffers: fewer chunks than slots
+        pad = d - nch
+        top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
+        top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
+    return top_pow, top_idx, overflow
 
 
 def _trailing_max(x: jax.Array, w: int) -> jax.Array:

@@ -1,31 +1,40 @@
 """Fused Pallas correlator for syncword acquisition.
 
-The acquisition bottleneck on TPU is not FLOPs but HBM traffic: the
-overlap-save path materializes the ``[frames, 9 bins, fft_size]`` complex
-product and its inverse FFT (hundreds of MB per step) just to reduce them to
-a per-sample best-bin power. The XLA FFT and an MXU matmul-FFT both measure
-~4 ms per 8x291k step because of exactly this traffic (docs/PERF_R2.md).
+The acquisition bottleneck on TPU is not FLOPs but HBM traffic and the XLA
+FFT: the overlap-save path materializes the ``[frames, 9 bins, fft_size]``
+complex product and its inverse FFT (hundreds of MB per step) just to
+reduce them to a per-sample best-bin power, and even the *forward* XLA FFT
+alone measured 6.4 ms per 16x524k step — ~20x its HBM floor
+(docs/PERF_R3.md round-3b profile).
 
-This kernel fuses the per-bin product, the inverse FFT and the
-power/max-over-bins reduction into one Pallas program so the per-bin
-intermediates never leave VMEM. Only the forward FFT of the frames (one
-cheap batched XLA FFT) happens outside; the kernel writes just the
-``best_pow``/``best_bin`` planes (2 x T' values instead of 9 x T' complex).
+This kernel therefore fuses the ENTIRE correlation: the forward DFT of the
+frames, the per-bin product, the inverse DFT and the power/max-over-bins
+reduction run in one Pallas program, so the spectrum and every per-bin
+intermediate live only in VMEM. The kernel reads the framed time samples
+once and writes just the ``best_pow``/``best_bin`` planes (2 x T' values
+instead of 9 x T' complex + a spectrum round trip).
 
-Inverse-FFT factorization (N = 16 x N2, k = k1 + 16 k2, n = N2 n1 + n2 with
-n1 in [0,16), n2 in [0,N2)):
+Both DFTs use the same N = 16 x N2 MXU factorization. Forward, with time
+index n = N2 m1 + m2 and output k = k1 + 16 k2 (m1, k1 in [0,16)):
+
+    Y[k1 + 16 k2] = sum_m2 W_N2^{-k2 m2} * W_N^{-k1 m2}
+                        * sum_m1 W_16^{-k1 m1} x[N2 m1 + m2]
+
+i.e. a small sublane matmul ``[16,16] @ [16, BF*N2]``, a twiddle, then a
+bulk lane matmul ``[(16*BF), N2] @ [N2, N2]`` producing the spectrum
+directly in the ``[k1, frame, k2]`` layout the inverse stage wants. Inverse
+(k = k1 + 16 k2, n = N2 n1 + n2):
 
     y[N2 n1 + n2] = 1/N * sum_k1 W_16^{+n1 k1} W_N^{+n2 k1}
                         * sum_k2 Y[k1 + 16 k2] W_N2^{+n2 k2}
 
-With the spectrum laid out ``[k1, frame, k2]`` both contractions are plain
-lane-dim matmuls — ``[(16*BF), N2] @ [N2, N2]`` (the bulk of the FLOPs, full
-128-lane tiles for N2 >= 128) then ``[16, 16] @ [16, BF*N2]`` — with no
-in-kernel transposes; the frame batch rides the MXU sublanes. Candidate
-*estimation* (phase, adjacent-bin powers) is recomputed exactly at the few
-detected points by direct correlation in the caller (ops/acquire.py), so the
-kernel only has to get detection decisions and interpolation ratios right
-(f32 matmuls, ~1e-5 relative).
+All contractions are plain lane/sublane matmuls with no in-kernel
+transposes; the frame batch rides the MXU sublanes. Candidate *estimation*
+(phase, adjacent-bin powers) is recomputed exactly at the few detected
+points by direct correlation in the caller (ops/acquire.py), so the kernel
+only has to get detection decisions and interpolation ratios right. (On
+TPU the MXU multiplies f32 matmul inputs at bf16 by default — the
+``bf16`` flag only makes that explicit; interpret mode is exact f32.)
 """
 
 from __future__ import annotations
@@ -60,27 +69,44 @@ def _inv_tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+@lru_cache(maxsize=8)
+def _fwd_tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(F1 [16,16], TWF [16,1,N2], F2 [N2,N2]) forward-DFT factors: with
+    time index n = N2 m1 + m2 the spectrum lands directly in the
+    [k1, frame, k2] layout (k = k1 + 16 k2) the inverse stage consumes."""
+    n2 = n // _N1
+    k1 = np.arange(_N1)
+    f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / _N1)  # [k1(out), m1]
+    m2 = np.arange(n2)
+    twf = np.exp(-2j * np.pi * np.outer(k1, m2) / n)[:, None, :]
+    f2 = np.exp(-2j * np.pi * np.outer(m2, m2) / n2)  # [m2, k2(out)]
+    return (
+        f1.astype(np.complex64),
+        twf.astype(np.complex64),
+        f2.astype(np.complex64),
+    )
+
+
 def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
     def kernel(
-        y2r_ref, y2i_ref,   # [16, BF, N2] spectrum block (k1, frame, k2)
+        xr_ref, xi_ref,     # [BF, 16, N2] framed time block (frame, m1, m2)
         rr_ref, ri_ref,     # [nb, 16, 1, N2] conj replica spectrum
-        w2r_ref, w2i_ref,   # [N2, N2]
-        twr_ref, twi_ref,   # [16, 1, N2]
-        w1r_ref, w1i_ref,   # [16, 16]
+        f1r_ref, f1i_ref,   # [16, 16] forward small DFT
+        twfr_ref, twfi_ref,  # [16, 1, N2] forward twiddle
+        f2r_ref, f2i_ref,   # [N2, N2] forward bulk DFT
+        w2r_ref, w2i_ref,   # [N2, N2] inverse bulk DFT
+        twr_ref, twi_ref,   # [16, 1, N2] inverse twiddle
+        w1r_ref, w1i_ref,   # [16, 16] inverse small DFT
         pow_ref, bin_ref,   # out [16, BF, N2]
     ):
-        y2r = y2r_ref[:]
-        y2i = y2i_ref[:]
         w2r, w2i = w2r_ref[:], w2i_ref[:]
         twr, twi = twr_ref[:], twi_ref[:]
         w1r, w1i = w1r_ref[:], w1i_ref[:]
         if bf16:
-            # bf16 matmul inputs, f32 accumulation: the MXU runs bf16 at 4x
-            # its f32 rate and the kernel is bound by the bulk [.,N2]@[N2,N2]
-            # contraction. ~2^-8 relative error on powers only moves
-            # detection decisions/interpolation ratios (phase and adjacent
-            # powers are recomputed exactly at the few candidates by
-            # _corr_points); PER parity is gated in tests/test_per_snr.py.
+            # explicit bf16 matmul inputs (f32 accumulation). On TPU this is
+            # what DEFAULT precision already does for f32 inputs — measured
+            # identical (docs/PERF_R3.md round-3b) — so the flag mostly
+            # documents the numeric contract; interpret mode stays f32.
             w2r, w2i = w2r.astype(jnp.bfloat16), w2i.astype(jnp.bfloat16)
             w1r, w1i = w1r.astype(jnp.bfloat16), w1i.astype(jnp.bfloat16)
 
@@ -88,6 +114,26 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
             if bf16:
                 a = a.astype(jnp.bfloat16)
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        # forward DFT in VMEM: sublane small DFT over m1, twiddle, bulk lane
+        # DFT over m2 -> spectrum [k1, frame, k2]. The input arrives
+        # frame-major straight from the overlap-save reshape; both layout
+        # transposes (in and out) are VMEM shuffles here, replacing full
+        # HBM round trips in the caller.
+        xr = xr_ref[:].transpose(1, 0, 2).reshape(_N1, bf * n2)
+        xi = xi_ref[:].transpose(1, 0, 2).reshape(_N1, bf * n2)
+        f1r, f1i = f1r_ref[:], f1i_ref[:]
+        twfr, twfi = twfr_ref[:], twfi_ref[:]
+        f2r, f2i = f2r_ref[:], f2i_ref[:]
+        if bf16:
+            f1r, f1i = f1r.astype(jnp.bfloat16), f1i.astype(jnp.bfloat16)
+            f2r, f2i = f2r.astype(jnp.bfloat16), f2i.astype(jnp.bfloat16)
+        ar = (dot(f1r, xr) - dot(f1i, xi)).reshape(_N1, bf, n2)
+        ai = (dot(f1r, xi) + dot(f1i, xr)).reshape(_N1, bf, n2)
+        br = (ar * twfr - ai * twfi).reshape(_N1 * bf, n2)
+        bi = (ar * twfi + ai * twfr).reshape(_N1 * bf, n2)
+        y2r = (dot(br, f2r) - dot(bi, f2i)).reshape(_N1, bf, n2)
+        y2i = (dot(br, f2i) + dot(bi, f2r)).reshape(_N1, bf, n2)
 
         pmax = jnp.full((_N1, bf, n2), -1.0, jnp.float32)
         pbin = jnp.zeros((_N1, bf, n2), jnp.int32)
@@ -106,8 +152,11 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
             upd = p > pmax
             pmax = jnp.where(upd, p, pmax)
             pbin = jnp.where(upd, b, pbin)
-        pow_ref[:] = pmax
-        bin_ref[:] = pbin
+        # emit in natural frame-major order [frame, n1, n2] (sample
+        # j = N2 n1 + n2): the VMEM transpose here replaces a full HBM
+        # round trip of both output planes in the caller
+        pow_ref[:] = pmax.transpose(1, 0, 2)
+        bin_ref[:] = pbin.transpose(1, 0, 2)
 
     return kernel
 
@@ -117,7 +166,8 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
     static_argnames=("fft_size", "interpret", "block_frames", "bf16"),
 )
 def fused_best_power(
-    frames: jax.Array,
+    xr: jax.Array,
+    xi: jax.Array,
     replica_fft_conj_r: jax.Array,
     replica_fft_conj_i: jax.Array,
     fft_size: int,
@@ -127,27 +177,24 @@ def fused_best_power(
 ) -> tuple[jax.Array, jax.Array]:
     """Best-bin correlation power per sample over all frequency bins.
 
-    frames: complex64 ``[F, N]`` overlap-save frames.
+    xr/xi: f32 ``[FPAD, 16, N2]`` framed time planes, frame-major (frame
+    sample ``j = N2 m1 + m2`` at ``[f, m1, m2]`` — i.e. the plain
+    ``[F, N]`` overlap-save frames reshaped, no transpose; build with
+    SyncwordAcquirer._frames_planes). FPAD must be a multiple of
+    ``block_frames``.
     replica_fft_conj_{r,i}: ``[nb, N]`` conj FFT of the modulated replicas.
-    Returns ``(best_pow [F, N] f32, best_bin [F, N] i32)`` in natural
-    per-frame sample order (caller slices the valid ``[:stride]`` part).
+    Returns ``(best_pow [FPAD, N] f32, best_bin [FPAD, N] i32)`` in natural
+    frame-major sample order (caller slices valid frames/[:stride]).
     """
     n = fft_size
     n2 = n // _N1
     nb = replica_fft_conj_r.shape[0]
-    f = frames.shape[0]
+    fpad = xr.shape[0]
     bf = block_frames
-    fpad = -(-f // bf) * bf
+    if fpad % bf:
+        raise ValueError(f"FPAD={fpad} must be a multiple of {bf}")
 
-    y = jnp.fft.fft(frames, axis=-1)  # [F, N] natural order
-    # k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, F, k2].
-    # planes split BEFORE the transpose: complex transposes hit
-    # UNIMPLEMENTED paths on this backend (see CLAUDE.md)
-    y2r_n = y.real.reshape(f, n2, _N1).transpose(2, 0, 1)  # [16, F, N2]
-    y2i_n = y.imag.reshape(f, n2, _N1).transpose(2, 0, 1)
-    y2r = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2r_n)
-    y2i = jnp.zeros((_N1, fpad, n2), jnp.float32).at[:, :f].set(y2i_n)
-
+    # spectrum k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, 1, k2]
     rep2r = replica_fft_conj_r.reshape(nb, n2, _N1).transpose(0, 2, 1)[
         :, :, None, :
     ]  # [nb, 16, 1, N2]
@@ -155,20 +202,27 @@ def fused_best_power(
         :, :, None, :
     ]
     w2c, tw, w1c = _inv_tables(n)
+    f1, twf, f2 = _fwd_tables(n)
 
     grid = (fpad // bf,)
     const = lambda i: (0, 0)  # noqa: E731
     const3 = lambda i: (0, 0, 0)  # noqa: E731
     const4 = lambda i: (0, 0, 0, 0)  # noqa: E731
-    blk = lambda i: (0, i, 0)  # noqa: E731
+    out_blk = lambda i: (i, 0, 0)  # noqa: E731  (frame-major in AND out)
     out_pow, out_bin = pl.pallas_call(
         _make_kernel(nb, n2, bf, bf16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_N1, bf, n2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, bf, n2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
@@ -177,22 +231,23 @@ def fused_best_power(
             pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_N1, bf, n2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, bf, n2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((_N1, fpad, n2), jnp.float32),
-            jax.ShapeDtypeStruct((_N1, fpad, n2), jnp.int32),
+            jax.ShapeDtypeStruct((fpad, _N1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((fpad, _N1, n2), jnp.int32),
         ),
         interpret=interpret,
     )(
-        y2r, y2i,
+        xr, xi,
         rep2r.astype(jnp.float32), rep2i.astype(jnp.float32),
+        jnp.asarray(f1.real), jnp.asarray(f1.imag),
+        jnp.asarray(twf.real), jnp.asarray(twf.imag),
+        jnp.asarray(f2.real), jnp.asarray(f2.imag),
         jnp.asarray(w2c.real), jnp.asarray(w2c.imag),
         jnp.asarray(tw.real), jnp.asarray(tw.imag),
         jnp.asarray(w1c.real), jnp.asarray(w1c.imag),
     )
-    # [16, F, N2] -> [F, 16, N2] -> [F, N] (n = N2*n1 + n2)
-    best_pow = out_pow[:, :f].transpose(1, 0, 2).reshape(f, n)
-    best_bin = out_bin[:, :f].transpose(1, 0, 2).reshape(f, n)
-    return best_pow, best_bin
+    # already frame-major [FPAD, 16, N2]; j = N2*n1 + n2 flattens directly
+    return out_pow.reshape(fpad, n), out_bin.reshape(fpad, n)

@@ -27,19 +27,26 @@ CONFIGS = [
     ("costas_loop_exact", {"BENCH_CARRIER": "costas", "BENCH_SUSTAINED": "0"}),
     ("ch16", {"BENCH_CHANNELS": "16", "BENCH_SUSTAINED": "0"}),
     ("ch24", {"BENCH_CHANNELS": "24", "BENCH_SUSTAINED": "0"}),
-    ("ch32", {"BENCH_CHANNELS": "32", "BENCH_SUSTAINED": "0"}),
-    ("ch64", {"BENCH_CHANNELS": "64", "BENCH_SUSTAINED": "0"}),
+    # monolithic (ungrouped) programs, documenting the working-set regression
+    (
+        "ch32",
+        {"BENCH_CHANNELS": "32", "BENCH_SUSTAINED": "0", "BENCH_GROUP": "0"},
+    ),
+    (
+        "ch64",
+        {"BENCH_CHANNELS": "64", "BENCH_SUSTAINED": "0", "BENCH_GROUP": "0"},
+    ),
     (
         "ch64_costas",
         {
             "BENCH_CHANNELS": "64",
             "BENCH_CARRIER": "costas",
             "BENCH_SUSTAINED": "0",
+            "BENCH_GROUP": "0",
         },
     ),
-    # channel-group pipelining (Receiver.bank_step group=16): the ch>16
-    # runs above were recorded with the monolithic program (BENCH_GROUP=0)
-    # to document the working-set regression; these are the shipping path
+    # channel-group pipelining (Receiver.bank_step group=16): the shipping
+    # path for banks wider than 16 channels
     ("ch32_g16", {"BENCH_CHANNELS": "32", "BENCH_SUSTAINED": "0"}),
     ("ch64_g16", {"BENCH_CHANNELS": "64", "BENCH_SUSTAINED": "0"}),
     (
@@ -51,11 +58,37 @@ CONFIGS = [
         },
     ),
     ("ch128_g16", {"BENCH_CHANNELS": "128", "BENCH_SUSTAINED": "0"}),
+    # bf16-matmul fused correlator (acquisition is the dominant stage)
+    ("default_vv_bf16", {"BENCH_ACQ": "fused_bf16"}),
+    (
+        "ch64_g16_bf16",
+        {
+            "BENCH_CHANNELS": "64",
+            "BENCH_ACQ": "fused_bf16",
+            "BENCH_SUSTAINED": "0",
+        },
+    ),
 ]
+
+
+def _git_rev() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=ROOT,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except OSError:
+        return "unknown"
 
 
 def main():
     only = sys.argv[1:] or None
+    rev = _git_rev()
     for label, env_over in CONFIGS:
         if only and label not in only:
             continue
@@ -74,7 +107,12 @@ def main():
             if ln.startswith("{"):
                 line = ln
                 break
-        rec = {"label": label, "wall_s": round(wall, 1), "rc": proc.returncode}
+        rec = {
+            "label": label,
+            "git": rev,
+            "wall_s": round(wall, 1),
+            "rc": proc.returncode,
+        }
         if line:
             rec.update(json.loads(line))
         else:

@@ -189,3 +189,90 @@ def test_conv_bf16_equivalence():
         float(np.asarray(det16.freq)[i16]),
         float(np.asarray(det32.freq)[i32]), atol=2e-4,
     )
+
+
+def _brute_force_detect(bp, w, d, threshold, fresh_lo=None, fresh_hi=None):
+    """O(T*w) reference for chunked_peak_detect: the literal definition of
+    the reference's running-best + history-median detection events."""
+    tlen = bp.size
+    events = []
+    for t in range(w, tlen - w):
+        if fresh_lo is not None and t < fresh_lo:
+            continue
+        if fresh_hi is not None and t >= fresh_hi:
+            continue
+        win = bp[t - w : t + w + 1]
+        if bp[t] <= 0 or bp[t] < win.max():
+            continue
+        if t > 0 and bp[max(t - w, 0) : t].size and bp[t] <= bp[t - w : t].max():
+            continue
+        if 2 * int((win < bp[t] / threshold).sum()) < 2 * w + 1:
+            continue
+        events.append(t)
+    events.sort(key=lambda t: -bp[t])
+    return events[:d], len(events) > d
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chunked_peak_detect_matches_brute_force(seed):
+    from gr4_packet_modem_tpu.ops.acquire import chunked_peak_detect
+
+    rng = np.random.default_rng(seed)
+    w, d, thr = 32, 6, 9.5
+    tlen = 4096 + rng.integers(0, w)  # exercise the padded tail chunk
+    bp = rng.random(tlen).astype(np.float32) * 0.1
+    # plant peaks: some isolated (detected), some within w of each other
+    # (suppressed), some near edges (excluded)
+    for t in [40, 500, 529, 1200, 2000, 2000 + w, 3000, tlen - 10]:
+        if t < tlen:
+            bp[t] = 5.0 + rng.random()
+    top_pow, top_idx, overflow = chunked_peak_detect(
+        jnp.asarray(bp), w, d, thr
+    )
+    got = sorted(
+        int(i) for p, i in zip(np.asarray(top_pow), np.asarray(top_idx))
+        if p > 0
+    )
+    want, want_ovf = _brute_force_detect(bp, w, d, thr)
+    assert got == sorted(want)
+    assert bool(overflow) == want_ovf
+
+
+def test_chunked_peak_detect_fresh_window():
+    from gr4_packet_modem_tpu.ops.acquire import chunked_peak_detect
+
+    rng = np.random.default_rng(7)
+    w, d, thr = 32, 4, 9.5
+    tlen = 2048
+    bp = rng.random(tlen).astype(np.float32) * 0.1
+    for t in [100, 400, 900, 1500]:
+        bp[t] = 4.0
+    lo, hi = 300, 1000
+    top_pow, top_idx, _ = chunked_peak_detect(
+        jnp.asarray(bp), w, d, thr, jnp.int32(lo), jnp.int32(hi)
+    )
+    got = sorted(
+        int(i) for p, i in zip(np.asarray(top_pow), np.asarray(top_idx))
+        if p > 0
+    )
+    want, _ = _brute_force_detect(bp, w, d, thr, lo, hi)
+    assert got == sorted(want) == [400, 900]
+
+
+def test_chunked_peak_detect_overflow_counts_all_passing():
+    # more qualifying peaks than slots: top-d by power win, overflow set
+    from gr4_packet_modem_tpu.ops.acquire import chunked_peak_detect
+
+    w, d, thr = 16, 3, 4.0
+    tlen = 1024
+    bp = np.full(tlen, 0.01, np.float32)
+    peaks = {100: 2.0, 200: 5.0, 300: 3.0, 400: 4.0, 500: 6.0}
+    for t, v in peaks.items():
+        bp[t] = v
+    top_pow, top_idx, overflow = chunked_peak_detect(
+        jnp.asarray(bp), w, d, thr
+    )
+    got = {int(i) for p, i in zip(np.asarray(top_pow), np.asarray(top_idx))
+           if p > 0}
+    assert got == {500, 200, 400}  # top-3 by power
+    assert bool(overflow)
