@@ -53,8 +53,8 @@ def planes_only(xc):
     n, s = acq.config.fft_size, acq.stride
     f = (xc.shape[0] - n) // s + 1
     fpad = -(-f // 16) * 16
-    xr, xi = acq._frames_planes(xc, fpad)
-    return xr.sum() + xi.sum()
+    ar, ai, br, bi = acq._frames_planes(xc, fpad)
+    return ar.sum() + ai.sum() + br.sum() + bi.sum()
 
 
 def corr_bf16(xc):

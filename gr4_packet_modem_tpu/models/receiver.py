@@ -44,6 +44,7 @@ from ..ops.acquire import AcquisitionConfig, Detections, SyncwordAcquirer
 from ..ops.costas import costas_run, costas_segments
 from ..ops.costas_pallas import costas_track_pallas
 from ..ops.fetch_pallas import fetch_enabled, fetch_regions
+from ..ops.matched_pallas import matched_filter_pallas
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
 from ..ops.scramble import keystream
@@ -362,6 +363,8 @@ class Receiver:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        # the depthwise kernel's sliding window must fit two sample blocks
+        use_pallas = use_pallas and (kk - 1 <= sps * 128)
         use_fetch = use_pallas and (
             fetch_enabled() or jax.default_backend() != "tpu"
         )
@@ -395,7 +398,8 @@ class Receiver:
                     lambda s: jax.lax.dynamic_slice(xi, (s,), (region_len,))
                 )(fetch_start)
             start = start_c
-            # derotate the region by exp(-i freq (n - n0))
+            # derotate the region by exp(-i freq (n - n0)) (cos/sin over
+            # [D, R] measured free on the VPU — docs/PERF_R3.md round-3b)
             j = jnp.arange(region_len, dtype=jnp.int32)[None, :]
             ph = -freq[:, None] * (start[:, None] + j - n0[:, None]).astype(
                 jnp.float32
@@ -403,6 +407,17 @@ class Receiver:
             cph, sph = jnp.cos(ph), jnp.sin(ph)
             dr = rr * cph - ri * sph
             di = rr * sph + ri * cph
+            if use_pallas:
+                # depthwise matched filter on the VPU (per-lane taps): the
+                # XLA grouped conv below costs ~2.6-3 ms per call at bench
+                # shapes nearly independent of region size
+                # (ops/matched_pallas.py)
+                outr, outi = matched_filter_pallas(
+                    dr, di, arm_taps[:, ::-1], sps, chunk,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                sym = jax.lax.complex(outr, outi)  # [D, chunk]
+                return amp_scale[:, None] * sym
             # matched filter + decimate as ONE grouped convolution (window
             # stacks fused into a dot explode the backend compiler):
             # out[0, s, g] = sum_k in[0, sps*s + k, g] * kern[k, 0, g]
@@ -606,14 +621,19 @@ class Receiver:
         resid = jnp.concatenate(
             [resid0, resid0 + jnp.cumsum(d4 / 4.0, axis=-1)], axis=-1
         )  # [D, nb] per-block residual phase
-        # linear interpolation between block centres, clamped at the ends
-        pos = (idx - (blk - 1) / 2.0) / blk
-        b0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 1)
-        b1 = jnp.clip(b0 + 1, 0, nb - 1)
-        frac = jnp.clip(pos - b0.astype(jnp.float32), 0.0, 1.0)
-        resid_per_sym = (
-            resid[:, b0] * (1.0 - frac)[None, :] + resid[:, b1] * frac[None, :]
-        )
+        # linear interpolation between block centres, clamped at the ends.
+        # The weights depend only on the static (S, blk) geometry, so the
+        # interpolation is one [D, nb] @ [nb, S] matmul with a trace-time
+        # constant matrix instead of two [D, S] gathers (gathers measured
+        # as the vv pass's main residual cost, docs/PERF_R3.md round-3b)
+        pos_np = (np.arange(s) - (blk - 1) / 2.0) / blk
+        b0 = np.clip(np.floor(pos_np).astype(np.int64), 0, nb - 1)
+        b1 = np.clip(b0 + 1, 0, nb - 1)
+        frac = np.clip(pos_np - b0, 0.0, 1.0).astype(np.float32)
+        interp = np.zeros((nb, s), np.float32)
+        np.add.at(interp, (b0, np.arange(s)), 1.0 - frac)
+        np.add.at(interp, (b1, np.arange(s)), frac)
+        resid_per_sym = resid @ jnp.asarray(interp)
         return z * jax.lax.complex(
             jnp.cos(resid_per_sym), -jnp.sin(resid_per_sym)
         )

@@ -197,38 +197,33 @@ class SyncwordAcquirer:
 
     def _frames_planes(
         self, x: jax.Array, fpad: int
-    ) -> tuple[jax.Array, jax.Array]:
-        """Overlap-save frames as I/Q planes, frame-major ``[FPAD, 16, N2]``
-        (the plain ``[F, N]`` frames reshaped — no transposes; the fused
-        kernel shuffles layouts in VMEM), zero-padded to ``fpad`` frames.
-        One gather-free body+tail copy per plane. (Two measured-worse
-        alternatives, docs/PERF_R3.md round-3b: slicing the 16 m1-rows
-        directly from the flat input — XLA materializes each
-        ``[fpad, stride]`` reshape — and host-side transposes into the
-        kernel's matmul layout, which alone cost ~5 ms of the 5.8 ms
-        correlate at 16ch x 2^19.)"""
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Overlap-save frames as TWO contiguous stride views per I/Q plane
+        (``(ar, ai, br, bi)``, each ``[FPAD, stride]``): the frame bodies
+        and the one-stride-shifted lookahead. Both are free reshapes of the
+        (zero-extended) flat plane — the fused kernel assembles the actual
+        frames in VMEM, so no framing copies happen on the host at all.
+        (Measured-worse alternatives, docs/PERF_R3.md round-3b: full host
+        framing+transposes cost ~5 ms, host framing with in-kernel
+        transposes ~2.7 ms, of the 16ch x 2^19 correlate.)"""
         n, s = self.config.fft_size, self.stride
-        n2 = n // 16
         t = x.shape[0]
-        f = (t - n) // s + 1
-        need = f * s + n
+        need = (fpad + 1) * s + (n - s)  # B view reaches (fpad+1)*s
         xr, xi = x.real, x.imag
         if need > t:
             z = jnp.zeros(need - t, xr.dtype)
             xr = jnp.concatenate([xr, z])
             xi = jnp.concatenate([xi, z])
 
-        def plane(xf):
-            body = xf[: f * s].reshape(f, s)
-            tail = xf[s : s + f * s].reshape(f, s)[:, : n - s]
-            fr = jnp.concatenate([body, tail], axis=1)  # [F, N]
-            if fpad != f:
-                fr = jnp.concatenate(
-                    [fr, jnp.zeros((fpad - f, n), xf.dtype)], axis=0
-                )
-            return fr.reshape(fpad, 16, n2)
+        def views(xf):
+            return (
+                xf[: fpad * s].reshape(fpad, s),
+                xf[s : (fpad + 1) * s].reshape(fpad, s),
+            )
 
-        return plane(xr), plane(xi)
+        ar, br = views(xr)
+        ai, bi = views(xi)
+        return ar, ai, br, bi
 
     def _replica_fft_conj(self) -> tuple[jax.Array, jax.Array]:
         """conj(FFT(zero-padded replicas)) as I/Q planes [nb, N], computed
@@ -270,10 +265,10 @@ class SyncwordAcquirer:
         f = (x.shape[0] - n) // s + 1
         bf = 16
         fpad = -(-f // bf) * bf
-        xr, xi = self._frames_planes(x, fpad)
+        ar, ai, br, bi = self._frames_planes(x, fpad)
         rfr, rfi = self._replica_fft_conj()
         bp, bb = fused_best_power(
-            xr, xi, rfr, rfi, n,
+            ar, ai, br, bi, rfr, rfi, n,
             interpret=jax.default_backend() != "tpu",
             block_frames=bf,
             bf16=bf16,

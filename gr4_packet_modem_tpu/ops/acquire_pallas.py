@@ -89,7 +89,8 @@ def _fwd_tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
     def kernel(
-        xr_ref, xi_ref,     # [BF, 16, N2] framed time block (frame, m1, m2)
+        ar_ref, ai_ref,     # [BF, S] frame bodies (contiguous stride view)
+        br_ref, bi_ref,     # [BF, S] one-stride-shifted view (lookahead)
         rr_ref, ri_ref,     # [nb, 16, 1, N2] conj replica spectrum
         f1r_ref, f1i_ref,   # [16, 16] forward small DFT
         twfr_ref, twfi_ref,  # [16, 1, N2] forward twiddle
@@ -115,13 +116,23 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
                 a = a.astype(jnp.bfloat16)
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        # forward DFT in VMEM: sublane small DFT over m1, twiddle, bulk lane
-        # DFT over m2 -> spectrum [k1, frame, k2]. The input arrives
-        # frame-major straight from the overlap-save reshape; both layout
-        # transposes (in and out) are VMEM shuffles here, replacing full
-        # HBM round trips in the caller.
-        xr = xr_ref[:].transpose(1, 0, 2).reshape(_N1, bf * n2)
-        xi = xi_ref[:].transpose(1, 0, 2).reshape(_N1, bf * n2)
+        # assemble the overlap-save frames IN VMEM from the two contiguous
+        # stride views (body + (n-s)-sample lookahead from the next stride),
+        # then shuffle into the forward-DFT matmul layout. The caller passes
+        # zero host-side framing copies — building [F, N] frames on the
+        # host cost 2.7 ms of the 4.8 ms correlate (docs/PERF_R3.md r3b).
+        s = ar_ref.shape[-1]
+        n = _N1 * n2
+        w_r = jnp.concatenate([ar_ref[:], br_ref[:][:, : n - s]], axis=1)
+        w_i = jnp.concatenate([ai_ref[:], bi_ref[:][:, : n - s]], axis=1)
+        # forward DFT: sublane small DFT over m1, twiddle, bulk lane DFT
+        # over m2 -> spectrum [k1, frame, k2]
+        xr = w_r.reshape(bf, _N1, n2).transpose(1, 0, 2).reshape(
+            _N1, bf * n2
+        )
+        xi = w_i.reshape(bf, _N1, n2).transpose(1, 0, 2).reshape(
+            _N1, bf * n2
+        )
         f1r, f1i = f1r_ref[:], f1i_ref[:]
         twfr, twfi = twfr_ref[:], twfi_ref[:]
         f2r, f2i = f2r_ref[:], f2i_ref[:]
@@ -166,8 +177,10 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
     static_argnames=("fft_size", "interpret", "block_frames", "bf16"),
 )
 def fused_best_power(
-    xr: jax.Array,
-    xi: jax.Array,
+    ar: jax.Array,
+    ai: jax.Array,
+    br: jax.Array,
+    bi: jax.Array,
     replica_fft_conj_r: jax.Array,
     replica_fft_conj_i: jax.Array,
     fft_size: int,
@@ -177,11 +190,13 @@ def fused_best_power(
 ) -> tuple[jax.Array, jax.Array]:
     """Best-bin correlation power per sample over all frequency bins.
 
-    xr/xi: f32 ``[FPAD, 16, N2]`` framed time planes, frame-major (frame
-    sample ``j = N2 m1 + m2`` at ``[f, m1, m2]`` — i.e. the plain
-    ``[F, N]`` overlap-save frames reshaped, no transpose; build with
+    ar/ai: f32 ``[FPAD, S]`` frame *bodies* — ``x[f*S : (f+1)*S]`` per
+    plane, a free contiguous reshape; br/bi: the same view shifted one
+    stride (``x[(f+1)*S : (f+2)*S]``), whose first ``N - S`` samples are
+    frame f's lookahead. The kernel assembles the overlap-save frames in
+    VMEM, so the caller performs no framing copies at all (build with
     SyncwordAcquirer._frames_planes). FPAD must be a multiple of
-    ``block_frames``.
+    ``block_frames``; S must satisfy ``N - S <= S``.
     replica_fft_conj_{r,i}: ``[nb, N]`` conj FFT of the modulated replicas.
     Returns ``(best_pow [FPAD, N] f32, best_bin [FPAD, N] i32)`` in natural
     frame-major sample order (caller slices valid frames/[:stride]).
@@ -189,10 +204,12 @@ def fused_best_power(
     n = fft_size
     n2 = n // _N1
     nb = replica_fft_conj_r.shape[0]
-    fpad = xr.shape[0]
+    fpad, s = ar.shape
     bf = block_frames
     if fpad % bf:
         raise ValueError(f"FPAD={fpad} must be a multiple of {bf}")
+    if not (0 < n - s <= s):
+        raise ValueError(f"stride {s} must satisfy N-S <= S (N={n})")
 
     # spectrum k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, 1, k2]
     rep2r = replica_fft_conj_r.reshape(nb, n2, _N1).transpose(0, 2, 1)[
@@ -208,13 +225,16 @@ def fused_best_power(
     const = lambda i: (0, 0)  # noqa: E731
     const3 = lambda i: (0, 0, 0)  # noqa: E731
     const4 = lambda i: (0, 0, 0, 0)  # noqa: E731
-    out_blk = lambda i: (i, 0, 0)  # noqa: E731  (frame-major in AND out)
+    body_blk = lambda i: (i, 0)  # noqa: E731
+    out_blk = lambda i: (i, 0, 0)  # noqa: E731  (frame-major)
     out_pow, out_bin = pl.pallas_call(
         _make_kernel(nb, n2, bf, bf16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
             pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
@@ -240,7 +260,7 @@ def fused_best_power(
         ),
         interpret=interpret,
     )(
-        xr, xi,
+        ar, ai, br, bi,
         rep2r.astype(jnp.float32), rep2i.astype(jnp.float32),
         jnp.asarray(f1.real), jnp.asarray(f1.imag),
         jnp.asarray(twf.real), jnp.asarray(twf.imag),
