@@ -42,9 +42,9 @@ import numpy as np
 from ..ops import ldpc
 from ..ops.acquire import AcquisitionConfig, Detections, SyncwordAcquirer
 from ..ops.costas import costas_run, costas_segments
-from ..ops.costas_pallas import costas_track_pallas
+from ..ops.costas_pallas import costas_enabled, costas_track_pallas
 from ..ops.fetch_pallas import fetch_enabled, fetch_regions
-from ..ops.matched_pallas import matched_filter_pallas
+from ..ops.matched_pallas import matched_enabled, matched_filter_pallas, max_taps
 from ..ops.crc import make_crc32_engine
 from ..ops.packing import pack_bits
 from ..ops.scramble import keystream
@@ -275,7 +275,10 @@ class Receiver:
         cfg = self.config
         use_pallas = cfg.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # auto: require the production-shape compile+validate probe
+            use_pallas = (
+                jax.default_backend() == "tpu" and costas_enabled()
+            )
         if use_pallas:
             # the gridded kernel handles any symbol count (SYM_BLOCK tiles
             # with scratch-carried loop state) — no length cap
@@ -363,10 +366,20 @@ class Receiver:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        # the depthwise kernel's sliding window must fit two sample blocks
-        use_pallas = use_pallas and (kk - 1 <= sps * 128)
+        # DMA region fetch and depthwise matched filter gate independently
+        # (an oversized tap count must not disable the unrelated fetch
+        # kernel); each auto-enabled kernel requires its compile+validate
+        # probe on TPU, while forced-on off-TPU (tests) runs interpreted
         use_fetch = use_pallas and (
             fetch_enabled() or jax.default_backend() != "tpu"
+        )
+        use_matched = (
+            use_pallas
+            and kk <= max_taps(sps)
+            and (
+                matched_enabled(sps, kk)
+                or jax.default_backend() != "tpu"
+            )
         )
 
         def one_chunk(c):
@@ -407,7 +420,7 @@ class Receiver:
             cph, sph = jnp.cos(ph), jnp.sin(ph)
             dr = rr * cph - ri * sph
             di = rr * sph + ri * cph
-            if use_pallas:
+            if use_matched:
                 # depthwise matched filter on the VPU (per-lane taps): the
                 # XLA grouped conv below costs ~2.6-3 ms per call at bench
                 # shapes nearly independent of region size
@@ -623,17 +636,32 @@ class Receiver:
         )  # [D, nb] per-block residual phase
         # linear interpolation between block centres, clamped at the ends.
         # The weights depend only on the static (S, blk) geometry, so the
-        # interpolation is one [D, nb] @ [nb, S] matmul with a trace-time
-        # constant matrix instead of two [D, S] gathers (gathers measured
-        # as the vv pass's main residual cost, docs/PERF_R3.md round-3b)
+        # interpolation is one [D, nb] @ [nb, S] matmul instead of two
+        # [D, S] gathers (gathers measured as the vv pass's main residual
+        # cost, docs/PERF_R3.md round-3b). The two-diagonal matrix is built
+        # ON DEVICE from iota comparisons — as a trace-time literal it is
+        # O(nb*S) (megabytes of HLO the remote compiler chokes on, and
+        # ~4.3 GB at the u16 payload envelope; advisor r3). Above a size
+        # threshold the gather formulation wins on memory and is used
+        # instead.
         pos_np = (np.arange(s) - (blk - 1) / 2.0) / blk
-        b0 = np.clip(np.floor(pos_np).astype(np.int64), 0, nb - 1)
-        b1 = np.clip(b0 + 1, 0, nb - 1)
-        frac = np.clip(pos_np - b0, 0.0, 1.0).astype(np.float32)
-        interp = np.zeros((nb, s), np.float32)
-        np.add.at(interp, (b0, np.arange(s)), 1.0 - frac)
-        np.add.at(interp, (b1, np.arange(s)), frac)
-        resid_per_sym = resid @ jnp.asarray(interp)
+        b0_np = np.clip(np.floor(pos_np).astype(np.int32), 0, nb - 1)
+        b1_np = np.clip(b0_np + 1, 0, nb - 1)
+        frac_np = np.clip(pos_np - b0_np, 0.0, 1.0).astype(np.float32)
+        if nb * s <= (1 << 25):  # <=128 MB of on-device interp matrix
+            b0 = jnp.asarray(b0_np)
+            b1 = jnp.asarray(b1_np)
+            frac = jnp.asarray(frac_np)
+            rows = jnp.arange(nb, dtype=jnp.int32)[:, None]  # [nb, 1]
+            interp = (rows == b0[None, :]) * (1.0 - frac)[None, :] + (
+                rows == b1[None, :]
+            ) * frac[None, :]
+            resid_per_sym = resid @ interp
+        else:
+            resid_per_sym = (
+                resid[:, b0_np] * (1.0 - frac_np)[None, :]
+                + resid[:, b1_np] * frac_np[None, :]
+            )
         return z * jax.lax.complex(
             jnp.cos(resid_per_sym), -jnp.sin(resid_per_sym)
         )

@@ -82,9 +82,18 @@ class AcquisitionConfig:
             import jax
 
             # the fused kernel needs N = 16 * N2 with N2 a multiple of 128
-            # lanes; odd fft sizes resolve to the fft backend instead
+            # lanes; odd fft sizes resolve to the fft backend instead. Auto
+            # additionally requires the production-shape probe to pass
+            # (compile + output validation, ops/pallas_probe.py) — an
+            # explicit backend="fused" bypasses the probe.
             if jax.default_backend() == "tpu" and self.fft_size % 2048 == 0:
-                return "fused"
+                from .acquire_pallas import fused_enabled
+
+                sync_len = modulated_syncword(self.samples_per_symbol)[0].size
+                if fused_enabled(
+                    self.fft_size, sync_len, 2 * self.freq_bins + 1
+                ):
+                    return "fused"
             return "fft"
         return self.backend
 
@@ -551,38 +560,6 @@ def chunked_peak_detect(
         top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
         top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
     return top_pow, top_idx, overflow
-
-
-def _trailing_max(x: jax.Array, w: int) -> jax.Array:
-    """m[t] = max(x[t-w+1 .. t]) via the doubling trick: O(log w) shifted
-    maxes instead of a wide reduce_window (which the TPU backend compiles
-    very slowly for windows this large)."""
-
-    def shift_right(a, s):
-        return jnp.concatenate([jnp.full((s,), -jnp.inf, a.dtype), a[:-s]])
-
-    m = x
-    span = 1
-    while span < w:
-        s = min(span, w - span)
-        m = jnp.maximum(m, shift_right(m, s))
-        span += s
-    return m
-
-
-def _sliding_max(x: jax.Array, left: int, right: int) -> jax.Array:
-    """max over window [t-left, t+right] (right may be -1 for strictly-past)."""
-    n = x.shape[0]
-    if right < 0:
-        # max over [t-left, t-1]
-        tm = _trailing_max(x, left)
-        return jnp.concatenate([jnp.full((1,), -jnp.inf, x.dtype), tm[: n - 1]])
-    # centered: trailing max of width left+right+1 evaluated at t+right
-    tm = _trailing_max(
-        jnp.concatenate([x, jnp.full((right,), -jnp.inf, x.dtype)]),
-        left + right + 1,
-    )
-    return tm[right : right + n]
 
 
 def _sliding_mean_at(x: jax.Array, idx: jax.Array, w: int) -> jax.Array:

@@ -34,7 +34,8 @@ transposes; the frame batch rides the MXU sublanes. Candidate *estimation*
 points by direct correlation in the caller (ops/acquire.py), so the kernel
 only has to get detection decisions and interpolation ratios right. (On
 TPU the MXU multiplies f32 matmul inputs at bf16 by default — the
-``bf16`` flag only makes that explicit; interpret mode is exact f32.)
+``bf16`` flag only makes that explicit — and its casts apply in interpret
+mode too, so the fused_bf16 CPU test loosens its tolerances.)
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_best_power"]
+__all__ = ["fused_best_power", "fused_enabled"]
 
 _N1 = 16  # small radix on the sublane side; N2 = fft_size // 16 rides lanes
 
@@ -107,7 +108,9 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
             # explicit bf16 matmul inputs (f32 accumulation). On TPU this is
             # what DEFAULT precision already does for f32 inputs — measured
             # identical (docs/PERF_R3.md round-3b) — so the flag mostly
-            # documents the numeric contract; interpret mode stays f32.
+            # documents the numeric contract. The casts apply in interpret
+            # mode too (which is why the fused_bf16 CPU test loosens its
+            # tolerances).
             w2r, w2i = w2r.astype(jnp.bfloat16), w2i.astype(jnp.bfloat16)
             w1r, w1i = w1r.astype(jnp.bfloat16), w1i.astype(jnp.bfloat16)
 
@@ -271,3 +274,80 @@ def fused_best_power(
     )
     # already frame-major [FPAD, 16, N2]; j = N2*n1 + n2 flattens directly
     return out_pow.reshape(fpad, n), out_bin.reshape(fpad, n)
+
+
+def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
+    """Compile-and-validate the fused correlator on the live TPU at the
+    production geometry (real fft_size/stride/bin count): random replica
+    spectra, a strong known echo embedded at a known sample, and the whole
+    best-power plane checked against a numpy FFT reference. MXU matmuls run
+    bf16-precision by default on this backend, so tolerances are relative
+    (~2^-8), but a corrupt lowering fails the peak and plane checks by
+    orders of magnitude."""
+    if jax.default_backend() != "tpu":
+        return False
+    n, nb = fft_size, num_bins
+    s = n - sync_len + 1
+    bf = 16
+    fpad = 16
+    t = (fpad + 1) * s + (n - s)
+    rng = np.random.default_rng(11)
+    reps = (
+        rng.standard_normal((nb, sync_len)) + 1j * rng.standard_normal((nb, sync_len))
+    ).astype(np.complex64) / np.sqrt(sync_len)
+    rep_pad = np.zeros((nb, n), np.complex64)
+    rep_pad[:, :sync_len] = reps
+    rf = np.conj(np.fft.fft(rep_pad, axis=-1)).astype(np.complex64)
+    x = (
+        0.05 * (rng.standard_normal(t) + 1j * rng.standard_normal(t))
+    ).astype(np.complex64)
+    pos, bin_true = 3 * s + 137, nb // 2
+    x[pos : pos + sync_len] += 5.0 * reps[bin_true]
+    f = (t - n) // s + 1
+
+    def views(xf):
+        return (
+            xf[: fpad * s].reshape(fpad, s),
+            xf[s : (fpad + 1) * s].reshape(fpad, s),
+        )
+
+    ar, br = views(x.real.astype(np.float32))
+    ai, bi = views(x.imag.astype(np.float32))
+    bp, bb = fused_best_power(
+        jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(br), jnp.asarray(bi),
+        jnp.asarray(rf.real), jnp.asarray(rf.imag), n, block_frames=bf,
+    )
+    bp = np.asarray(bp)[:f, :s].reshape(-1)
+    bb = np.asarray(bb)[:f, :s].reshape(-1)
+    # numpy overlap-save reference
+    frames = np.stack([x[i * s : i * s + n] for i in range(f)])
+    spec = np.fft.fft(frames, axis=-1)
+    corr = np.fft.ifft(spec[:, None, :] * rf[None], axis=-1)[..., :s]
+    p = np.abs(corr) ** 2  # [F, nb, S]
+    ref_bp = p.max(axis=1).reshape(-1)
+    ref_bin = p.argmax(axis=1).reshape(-1)
+    pk = int(bp.argmax())
+    scale = float(ref_bp.max())
+    plane_ok = np.abs(bp - ref_bp).max() < 0.05 * scale
+    bin_ok = (bb == ref_bin).mean() > 0.9  # noise-floor bins may tie
+    return bool(
+        plane_ok
+        and bin_ok
+        and pk == pos
+        and bb[pk] == bin_true
+        and abs(bp[pk] - ref_bp[pos]) < 0.05 * scale
+    )
+
+
+def fused_enabled(fft_size: int, sync_len: int, num_bins: int) -> bool:
+    """Whether the fused Pallas correlator is usable on this backend at the
+    given geometry (probe-compiled + output-validated once per machine per
+    kernel-source version; ``PM_PALLAS_FUSED=1/0`` forces)."""
+    import sys
+
+    from .pallas_probe import probe_verdict, source_tag
+
+    tag = f"{source_tag(sys.modules[__name__])}_{fft_size}_{sync_len}_{num_bins}"
+    return probe_verdict(
+        "fused", tag, lambda: _probe(fft_size, sync_len, num_bins)
+    )

@@ -35,6 +35,7 @@ arrays.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -45,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import constants as C
 from .costas import costas_coefficients
+from .pallas_probe import probe_verdict, source_tag
 
-__all__ = ["costas_track_pallas", "SYM_BLOCK"]
+__all__ = ["costas_track_pallas", "costas_enabled", "SYM_BLOCK"]
 
 _HDR_END = C.SYNCWORD_LEN + C.HEADER_SYMBOLS  # 192
 
@@ -173,3 +175,72 @@ def costas_track_pallas(
     )(ph0, fr0, re, im)
     corrected = jax.lax.complex(out_re[:s, :b].T, out_im[:s, :b].T)
     return corrected, ph_end[0, :b], fr_end[0, :b]
+
+
+def _np_costas(sym, ph0, fr0, offset):
+    """Host reference of the identical recursion (f32 numpy) for the
+    capability probe."""
+    k1a, k2a = costas_coefficients(C.SYNCWORD_COSTAS_BW, False)
+    k1b, k2b = costas_coefficients(C.HEADER_COSTAS_BW, True)
+    k1c, k2c = costas_coefficients(C.PAYLOAD_COSTAS_BW, True)
+    ph = ph0.astype(np.float32).copy()
+    fr = fr0.astype(np.float32).copy()
+    out = np.empty_like(sym)
+    for s in range(sym.shape[1]):
+        g = s + offset
+        if g < C.SYNCWORD_LEN:
+            k1, k2 = k1a, k2a
+        elif g < _HDR_END:
+            k1, k2 = k1b, k2b
+        else:
+            k1, k2 = k1c, k2c
+        z = sym[:, s] * np.exp(-1j * ph)
+        zr, zi = z.real.astype(np.float32), z.imag.astype(np.float32)
+        if g < C.SYNCWORD_LEN:
+            e = zi
+        else:
+            e = np.where(zr > 0, zi, -zi) + np.where(zi > 0, -zr, zr)
+        fr = fr + np.float32(k2) * e
+        ph = ph + np.float32(k1) * e + fr
+        ph = np.where(ph >= _PI, ph - _TWO_PI, ph)
+        ph = np.where(ph < -_PI, ph + _TWO_PI, ph)
+        out[:, s] = zr + 1j * zi
+    return out, ph, fr
+
+
+def _probe() -> bool:
+    """Compile-and-validate the kernel on the live TPU at a production-like
+    shape (two lane blocks, a multi-block symbol grid with a partial tail,
+    all three schedule segments) against the host recursion. The loop is
+    contractive, so backend trig ULP differences stay bounded — a corrupt
+    lowering diverges wildly instead."""
+    if jax.default_backend() != "tpu":
+        return False
+    rng = np.random.default_rng(7)
+    b, s = 256, SYM_BLOCK + 160
+    bits = rng.integers(0, 4, (b, s))
+    clean = np.exp(1j * (np.pi / 4 + bits * np.pi / 2)).astype(np.complex64)
+    clean[:, : C.SYNCWORD_LEN] = 1.0  # wiped-off pilot segment
+    cfo = 1e-4 * rng.standard_normal((b, 1))
+    sym = clean * np.exp(
+        1j * (0.05 * rng.standard_normal((b, 1)) + cfo * np.arange(s))
+    )
+    sym = (sym + 0.01 * rng.standard_normal((b, s))).astype(np.complex64)
+    ph0 = np.zeros(b, np.float32)
+    fr0 = np.zeros(b, np.float32)
+    out, ph, fr = costas_track_pallas(
+        jnp.asarray(sym), jnp.asarray(ph0), jnp.asarray(fr0), offset=0
+    )
+    ref, ph_ref, fr_ref = _np_costas(sym, ph0, fr0, 0)
+    return bool(
+        np.allclose(np.asarray(out), ref, atol=2e-2)
+        and np.allclose(np.asarray(ph), ph_ref, atol=2e-2)
+        and np.allclose(np.asarray(fr), fr_ref, atol=1e-3)
+    )
+
+
+def costas_enabled() -> bool:
+    """Whether the Pallas Costas kernel is usable on this backend
+    (probe-compiled + output-validated once per machine per kernel-source
+    version; ``PM_PALLAS_COSTAS=1/0`` forces)."""
+    return probe_verdict("costas", source_tag(sys.modules[__name__]), _probe)

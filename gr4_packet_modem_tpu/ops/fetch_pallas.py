@@ -14,72 +14,54 @@ The caller clips starts to [0, T - R]; derotation/filtering stay in XLA
 
 from __future__ import annotations
 
-import os
+import sys
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_probe import probe_verdict, source_tag
+
 __all__ = ["fetch_regions", "fetch_enabled"]
 
 
-_PROBE_VERDICT: bool | None = None
-_PROBE_CACHE = "/tmp/pm_fetch_probe_v2"
-
-
 def _probe() -> bool:
-    """Try-compile the fetch kernel once on the live backend, at a
+    """Compile-and-VALIDATE the fetch kernel once on the live backend, at a
     *representative* shape: an unaligned region length (the receiver fetches
-    297-tap syncword windows -> rpad 384) and an odd dynamic start. Mosaic
+    297-tap syncword windows -> rpad 384) and odd dynamic starts. Mosaic
     toolchains differ in what they accept — the r2-era chipless AOT compiler
     rejected make_async_copy outright, while the current one compiles the
     kernel but requires HBM->VMEM slice shapes aligned to the source tiling
     (1024 for a 1-D f32 memref), which arbitrary-start sample windows cannot
     satisfy. Probing a tiny aligned shape would report capability the
     production shapes don't have (that bug shipped briefly in round 3), so
-    the probe mirrors production and the verdict is trusted either way
-    (VERDICT r2 next-step 10)."""
-    import jax
-    import jax.numpy as jnp
+    the probe mirrors production. The fetched windows are checked against
+    the expected slices of distinguishable (arange) data — a toolchain that
+    silently clamps or misaligns the DMA must fail the probe, not corrupt
+    every later extraction (advisor r3)."""
+    import numpy as np
 
     if jax.default_backend() != "tpu":
         return False
-    try:
-        out = fetch_rows(
-            jnp.zeros(8192, jnp.float32),
-            jnp.asarray([3, 517], jnp.int32),
-            297,
-        )
-        jax.block_until_ready(out)
-        return True
-    except Exception:
-        return False
+    x = np.arange(8192, dtype=np.float32)
+    starts = np.asarray([3, 517, 4099], np.int32)
+    out = np.asarray(
+        fetch_rows(jnp.asarray(x), jnp.asarray(starts), 297)
+    )
+    expect = np.stack([x[s : s + 297] for s in starts])
+    return bool((out == expect).all())
 
 
 def fetch_enabled() -> bool:
     """Whether the scalar-prefetch DMA fetch path is usable on this backend.
 
     ``PM_PALLAS_FETCH=1/0`` forces the verdict; otherwise the kernel is
-    probe-compiled once per machine (verdict cached in-process and in
-    ``/tmp/pm_fetch_probe``), so deployments with a working Mosaic compiler
-    get the fast path automatically."""
-    global _PROBE_VERDICT
-    env = os.environ.get("PM_PALLAS_FETCH")
-    if env is not None:
-        return env == "1"
-    if _PROBE_VERDICT is None:
-        try:
-            with open(_PROBE_CACHE) as f:
-                _PROBE_VERDICT = f.read().strip() == "1"
-        except OSError:
-            _PROBE_VERDICT = _probe()
-            try:
-                with open(_PROBE_CACHE, "w") as f:
-                    f.write("1" if _PROBE_VERDICT else "0")
-            except OSError:
-                pass
-    return _PROBE_VERDICT
+    probe-compiled and output-validated once per machine per kernel-source
+    version (verdict cached in-process and in ``/tmp/pm_probe_fetch_*``), so
+    deployments with a working Mosaic compiler get the fast path
+    automatically."""
+    return probe_verdict("fetch", source_tag(sys.modules[__name__]), _probe)
 
 
 def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):

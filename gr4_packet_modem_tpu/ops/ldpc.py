@@ -127,7 +127,10 @@ class HeaderLdpcDecoder:
         """
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # auto: require the compile+validate probe (ops/pallas_probe.py)
+            from .ldpc_pallas import ldpc_enabled
+
+            use_pallas = jax.default_backend() == "tpu" and ldpc_enabled()
         if use_pallas:
             from .ldpc_pallas import ldpc_totals_pallas
 

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-__all__ = ["ldpc_totals_pallas"]
+__all__ = ["ldpc_totals_pallas", "ldpc_enabled"]
 
 _INF = np.float32(3.0e38)
 
@@ -150,3 +150,35 @@ def ldpc_totals_pallas(
         interpret=interpret,
     )(x, jnp.asarray(scat), jnp.asarray(gath), jnp.asarray(mask))
     return out[:b]
+
+
+def _probe() -> bool:
+    """Semantic compile-and-validate probe on the live TPU: encode random
+    headers, flip a few coded bits, decode with the Pallas path and demand
+    every header comes back exactly (a corrupt lowering cannot pass a parity
+    syndrome check on 128 random codewords by accident)."""
+    if jax.default_backend() != "tpu":
+        return False
+    from .ldpc import HeaderLdpcDecoder, encode_header
+
+    rng = np.random.default_rng(3)
+    b = 128
+    info = rng.integers(0, 2, (b, 32)).astype(np.uint8)
+    coded = np.asarray(encode_header(jnp.asarray(info)))[:, :128]
+    llr = (1.0 - 2.0 * coded).astype(np.float32) * 4.0
+    for i in range(b):
+        llr[i, rng.choice(128, 3, replace=False)] *= -1.0
+    dec = HeaderLdpcDecoder(25, use_pallas=True)
+    bits, ok = dec.decode(jnp.asarray(llr))
+    return bool(np.asarray(ok).all() and (np.asarray(bits) == info).all())
+
+
+def ldpc_enabled() -> bool:
+    """Whether the Pallas LDPC kernel is usable on this backend
+    (probe-compiled + output-validated once per machine per kernel-source
+    version; ``PM_PALLAS_LDPC=1/0`` forces)."""
+    import sys
+
+    from .pallas_probe import probe_verdict, source_tag
+
+    return probe_verdict("ldpc", source_tag(sys.modules[__name__]), _probe)

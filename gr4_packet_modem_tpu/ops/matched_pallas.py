@@ -11,20 +11,31 @@ normal conv measured no better and compiled for 343 s).
 
 This kernel does the literal depthwise work on the VPU at full lane
 utilization: detections ride the 128 lanes (each lane with its own taps),
-symbols ride the sublanes, and the K-tap accumulation unrolls over
-statically-sliced views of the strided sample window:
+symbols ride the sublanes, and the K-tap accumulation runs as a fori loop
+over the tap quotient q = k // sps with the sps phases unrolled inside:
 
     out[s, d] = sum_k z[sps*s + k, d] * taps[k, d]
+              = sum_p sum_q zp[p][s + q, d] * tp[p][q, d]
 
-Sample rows arrive as two adjacent ``[sps*SB, 128]`` blocks of the
-transposed region plane (the sliding window spans at most one block
-boundary since K-1 <= sps*SB), so everything stays in VMEM with no
-overlapping-block tricks. ~0.5 ms of VPU work at the 512-detection payload
-shape vs 2.6 ms for the XLA conv.
+where zp/tp are the phase-split (k % sps) planes. All dynamic addressing is
+``pl.ds`` loads from VMEM refs at dynamic sublane starts — the pattern the
+Costas kernel (ops/costas_pallas.py:97-98) already proves on this Mosaic
+toolchain. (The round-3 version dynamic-sliced *values* inside the loop,
+which Mosaic does not lower — NotImplementedError: dynamic_slice — and a
+fully unrolled K-tap loop, 594 vector ops, sent the remote compiler into
+the weeds.)
+
+Sample rows arrive as two adjacent ``[sps, SB, 128]`` phase-split blocks of
+the transposed region plane (the sliding window spans at most one block
+boundary since ceil(K/sps) <= SB), concatenated into a ``[sps, 2*SB, 128]``
+VMEM scratch so everything stays resident with no overlapping-block tricks.
+~0.5 ms of VPU work at the 512-detection payload shape vs 2.6 ms for the
+XLA conv.
 """
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -33,35 +44,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["matched_filter_pallas"]
+from .pallas_probe import probe_verdict, source_tag
+
+__all__ = ["matched_filter_pallas", "matched_enabled", "max_taps"]
 
 _SB = 128  # symbols per grid step ([SB, 128] output tile)
 
 
-def _make_kernel(k_taps: int, sps: int, sb: int):
-    rb = sps * sb
+def max_taps(sps: int) -> int:
+    """Largest tap count the kernel's two-block sliding window supports
+    (the receiver gates the backend choice on this, not on a hardcoded
+    block size)."""
+    return sps * _SB
 
-    def kernel(zr_c, zr_n, zi_c, zi_n, taps_ref, or_ref, oi_ref):
-        wr = jnp.concatenate([zr_c[:], zr_n[:]], axis=0)  # [2*RB, 128]
-        wi = jnp.concatenate([zi_c[:], zi_n[:]], axis=0)
-        # strided window view: row sps*s + k = w4[s + k//sps, k%sps]
-        w4r = wr.reshape(2 * rb // sps, sps, 128)
-        w4i = wi.reshape(2 * rb // sps, sps, 128)
-        nq = -(-k_taps // sps)
 
-        # fori over the tap quotient with the sps phases unrolled inside:
-        # a fully unrolled K-tap loop (594 vector ops) sent the remote
-        # Mosaic compiler into the weeds
+def _make_kernel(nq: int, sps: int, sb: int):
+    def kernel(
+        zr_c, zr_n, zi_c, zi_n, taps_ref, or_ref, oi_ref, ws_r, ws_i
+    ):
+        # assemble the two adjacent phase-split blocks into one scratch
+        # window [sps, 2*SB, 128] so the q-loop can slide across the block
+        # boundary with plain dynamic-start ref loads
+        ws_r[:, :sb, :] = zr_c[:]
+        ws_r[:, sb:, :] = zr_n[:]
+        ws_i[:, :sb, :] = zi_c[:]
+        ws_i[:, sb:, :] = zi_n[:]
+
         def body(q, acc):
             accr, acci = acc
             for p in range(sps):
-                k = q * sps + p
-                hk = jax.lax.dynamic_slice(taps_ref[:], (k, 0), (1, 128))
-                hk = jnp.where(k < k_taps, hk, 0.0)
-                br = jax.lax.dynamic_slice(w4r, (q, p, 0), (sb, 1, 128))
-                bi = jax.lax.dynamic_slice(w4i, (q, p, 0), (sb, 1, 128))
-                accr = accr + br[:, 0, :] * hk
-                acci = acci + bi[:, 0, :] * hk
+                hk = taps_ref[p, pl.ds(q, 1), :]  # [1, 128]
+                accr = accr + ws_r[p, pl.ds(q, sb), :] * hk
+                acci = acci + ws_i[p, pl.ds(q, sb), :] * hk
             return accr, acci
 
         accr = jnp.zeros((sb, 128), jnp.float32)
@@ -91,36 +105,40 @@ def matched_filter_pallas(
     """
     d, r = zr.shape
     k_taps = taps.shape[1]
-    rb = sps * _SB
-    if k_taps - 1 > rb:
-        raise ValueError(f"K={k_taps} must be <= sps*{_SB}+1 (window span)")
+    if k_taps > max_taps(sps):
+        raise ValueError(f"K={k_taps} must be <= sps*{_SB} (window span)")
+    nq = -(-k_taps // sps)
     dpad = -(-d // 128) * 128
     ns = -(-num_syms // _SB)
-    # rows: ns blocks of RB plus one lookahead block for the window tail
-    rpad = (ns + 1) * rb
+    # per-phase rows: ns blocks of SB plus one lookahead block for the tail
+    rows_ps = (ns + 1) * _SB
+    rpad = rows_ps * sps
 
-    def padT(a, rows):
-        # [D, R] -> [rows, Dpad] transposed + zero-padded
-        out = jnp.zeros((rows, dpad), jnp.float32)
-        return out.at[: min(r, rows), :d].set(a.T[:rows])
+    def pad_ps(a):
+        # [D, R] -> [sps, rows_ps, Dpad] phase-split transposed planes:
+        # out[p, t, dd] = a[dd, sps*t + p] (zero-padded)
+        out = jnp.zeros((rpad, dpad), jnp.float32)
+        out = out.at[: min(r, rpad), :d].set(a.T[:rpad])
+        return out.reshape(rows_ps, sps, dpad).transpose(1, 0, 2)
 
-    zrt = padT(zr, rpad)
-    zit = padT(zi, rpad)
-    tp = jnp.zeros((k_taps, dpad), jnp.float32).at[:, :d].set(taps.T)
+    zrp = pad_ps(zr)
+    zip_ = pad_ps(zi)
+    tp = jnp.zeros((nq * sps, dpad), jnp.float32).at[:k_taps, :d].set(taps.T)
+    tp = tp.reshape(nq, sps, dpad).transpose(1, 0, 2)  # [sps, nq, Dpad]
 
-    cur = lambda di, si: (si, di)  # noqa: E731
-    nxt = lambda di, si: (si + 1, di)  # noqa: E731
-    tap_blk = lambda di, si: (0, di)  # noqa: E731
+    cur = lambda di, si: (0, si, di)  # noqa: E731
+    nxt = lambda di, si: (0, si + 1, di)  # noqa: E731
+    tap_blk = lambda di, si: (0, 0, di)  # noqa: E731
     out_blk = lambda di, si: (si, di)  # noqa: E731
     out_r, out_i = pl.pallas_call(
-        _make_kernel(k_taps, sps, _SB),
+        _make_kernel(nq, sps, _SB),
         grid=(dpad // 128, ns),
         in_specs=[
-            pl.BlockSpec((rb, 128), cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_taps, 128), tap_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sps, _SB, 128), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sps, _SB, 128), nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sps, _SB, 128), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sps, _SB, 128), nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sps, nq, 128), tap_blk, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((_SB, 128), out_blk, memory_space=pltpu.VMEM),
@@ -130,9 +148,50 @@ def matched_filter_pallas(
             jax.ShapeDtypeStruct((ns * _SB, dpad), jnp.float32),
             jax.ShapeDtypeStruct((ns * _SB, dpad), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((sps, 2 * _SB, 128), jnp.float32),
+            pltpu.VMEM((sps, 2 * _SB, 128), jnp.float32),
+        ],
         interpret=interpret,
-    )(zrt, zrt, zit, zit, tp)
+    )(zrp, zrp, zip_, zip_, tp)
     return out_r[:num_syms, :d].T, out_i[:num_syms, :d].T
+
+
+def _probe(sps: int, k_taps: int) -> bool:
+    """Compile-and-validate the kernel on the live TPU at a shape with the
+    production lowering features: the real tap count (dynamic-start range),
+    sps, a multi-step grid in both dims, and distinguishable random data
+    checked against a host sliding-window reference."""
+    if jax.default_backend() != "tpu":
+        return False
+    d, num_syms = 256, 2 * _SB
+    r = sps * (num_syms - 1) + k_taps
+    rng = np.random.default_rng(42)
+    zr = rng.standard_normal((d, r), dtype=np.float32)
+    zi = rng.standard_normal((d, r), dtype=np.float32)
+    taps = rng.standard_normal((d, k_taps), dtype=np.float32)
+    outr, outi = matched_filter_pallas(
+        jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(taps), sps, num_syms
+    )
+    outr, outi = np.asarray(outr), np.asarray(outi)
+    win = np.lib.stride_tricks.sliding_window_view(zr, k_taps, axis=1)
+    refr = np.einsum("dsk,dk->ds", win[:, :: sps][:, :num_syms], taps)
+    win_i = np.lib.stride_tricks.sliding_window_view(zi, k_taps, axis=1)
+    refi = np.einsum("dsk,dk->ds", win_i[:, :: sps][:, :num_syms], taps)
+    tol = 1e-3 * np.sqrt(k_taps)
+    return bool(
+        np.allclose(outr, refr, atol=tol) and np.allclose(outi, refi, atol=tol)
+    )
+
+
+def matched_enabled(sps: int, k_taps: int) -> bool:
+    """Whether the depthwise Pallas matched filter is usable on this backend
+    at the given geometry. Probe-compiled once per machine per kernel-source
+    version (``PM_PALLAS_MATCHED=1/0`` forces)."""
+    if k_taps > max_taps(sps):
+        return False
+    tag = f"{source_tag(sys.modules[__name__])}_{sps}_{k_taps}"
+    return probe_verdict("matched", tag, lambda: _probe(sps, k_taps))
 
 
 def matched_filter_reference(

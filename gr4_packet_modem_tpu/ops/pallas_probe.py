@@ -1,0 +1,74 @@
+"""Production-shape capability probes for auto-enabled Pallas TPU kernels.
+
+Every Pallas kernel that the receiver auto-enables on TPU must pass a
+try-compile-AND-VALIDATE probe at production-representative shapes before the
+fast path is trusted (round-3 lesson: a kernel shipped with interpret-only
+tests failed Mosaic lowering at HEAD and broke the official bench; round-2
+lesson: probes at non-production shapes lie about DMA alignment; advisor
+round-3: a probe that only checks "no exception" would trust a toolchain
+that silently clamps/misaligns the DMA — probes must feed distinguishable
+data and compare the result against a host reference).
+
+Shared mechanics:
+
+- verdicts are memoized in-process and cached per machine in
+  ``/tmp/pm_probe_<name>_<tag>`` where ``tag`` hashes the probed module's
+  source, so editing a kernel automatically invalidates its cached verdict;
+- ``PM_PALLAS_<NAME>=1/0`` force-overrides a verdict (e.g. to benchmark the
+  XLA fallback path on a machine whose kernel probe passes);
+- off-TPU the verdict is always False — callers run ``interpret=True`` for
+  tests instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+
+__all__ = ["source_tag", "probe_verdict"]
+
+_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def source_tag(*modules) -> str:
+    """Stable short hash of the given modules' source text (cache-busting
+    version tag: editing any probed kernel invalidates its /tmp verdict)."""
+    h = hashlib.sha1()
+    for m in modules:
+        try:
+            h.update(inspect.getsource(m).encode())
+        except (OSError, TypeError):
+            h.update(repr(m).encode())
+    return h.hexdigest()[:10]
+
+
+def probe_verdict(name: str, tag: str, fn) -> bool:
+    """Cached verdict for probe ``fn`` (called at most once per machine per
+    kernel-source version; must return truthy only if the kernel compiled,
+    ran, and produced output matching its reference)."""
+    env = os.environ.get(f"PM_PALLAS_{name.upper()}")
+    if env is not None:
+        return env == "1"
+    key = (name, tag)
+    if key in _MEMO:
+        return _MEMO[key]
+    cache = f"/tmp/pm_probe_{name}_{tag}"
+    verdict: bool | None = None
+    try:
+        with open(cache) as f:
+            verdict = f.read().strip() == "1"
+    except OSError:
+        pass
+    if verdict is None:
+        try:
+            verdict = bool(fn())
+        except Exception:
+            verdict = False
+        try:
+            with open(cache, "w") as f:
+                f.write("1" if verdict else "0")
+        except OSError:
+            pass
+    _MEMO[key] = verdict
+    return verdict

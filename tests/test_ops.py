@@ -174,6 +174,37 @@ class TestFirdes:
         np.testing.assert_array_equal(p[1], [1, 5, 9])
         np.testing.assert_array_equal(p[2], [2, 6, 0])
 
+    def test_independent_designer_matches_golden(self):
+        # the production tap vectors are golden data (protocol constants);
+        # the textbook-closed-form designer must reproduce them to f32
+        # precision (cross-check that the golden data is what the formula
+        # says, and that the independent derivation is correct)
+        from gr4_packet_modem_tpu.utils.firdes import _golden
+
+        g = _golden()
+        raw = root_raised_cosine(1.0, 4.0, 1.0, 0.35, 45)
+        np.testing.assert_allclose(
+            raw, g["rrc_g1_fs4_sr1_a035_n45"], atol=3e-7
+        )
+        # PFB prototype recomputed through the independent designer
+        _, norm = rx_rrc_taps(4)
+        pfb_calc = root_raised_cosine(
+            32.0 / norm, 128.0, 1.0, 0.35, 32 * 4 * 11
+        )[:-1]
+        np.testing.assert_allclose(
+            pfb_calc, g["rx_pfb_sps4_arms32"], atol=2e-5
+        )
+
+    def test_designer_nondefault_geometry(self):
+        # non-golden geometries go through the designer directly
+        taps = tx_rrc_taps(2)
+        assert taps.size == 23
+        sums = [np.abs(taps[j::2]).sum() for j in range(2)]
+        np.testing.assert_allclose(max(sums), 0.9, rtol=1e-6)
+        taps8, norm8 = rx_rrc_taps(8)
+        assert taps8.size == 89 and norm8 > 0
+        np.testing.assert_allclose(np.sum(taps8**2), 1.0, rtol=1e-6)
+
 
 class TestFir:
     def test_interp_matches_reference(self):
