@@ -189,6 +189,73 @@ def main():
             "sustained_materialize_ms_per_block": per_block("materialize_s"),
         }
 
+    # sustained MULTI-channel serving (VERDICT r3 next-step 5): C channels
+    # host-fed through StreamingBank — one [2, C, block] wire transfer and
+    # one compiled lane-packed step per block. Same parity gate: the rate
+    # counts only if every expected packet on every channel decoded and no
+    # block saturated the detection cap. (On the dev tunnel this path is
+    # h2d-wire-bound: ~17 MB/s moves ~8.5 Msps aggregate at int8 — the
+    # per-block stats separate the wire cost from step compute.)
+    bank_sustained = 0.0
+    bank_info = {}
+    if os.environ.get("BENCH_BANK", "1") == "1":
+        from gr4_packet_modem_tpu.runtime.streaming import StreamingBank
+
+        bank_ch = int(os.environ.get("BENCH_BANK_CHANNELS", "8"))
+        xfer = os.environ.get("BENCH_XFER", "int8")
+        transfer_dtype = {
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+        }[xfer]
+        bank_group = 16 if bank_ch > 16 and bank_ch % 16 == 0 else 0
+        bank = StreamingBank(
+            RxConfig(
+                max_payload_len=1536,
+                max_detections=max_det,
+                freq_bins=4,
+                payload_carrier=carrier,
+                acquisition_backend=acq_backend,
+            ),
+            channels=bank_ch,
+            block=block,
+            transfer_dtype=transfer_dtype,
+            group=bank_group,
+        )
+        sig_unit = np.ascontiguousarray(
+            np.tile(stream, max(1, -(-block // stream.size)))
+        )
+        pkts_per_unit = len(payloads) * (sig_unit.size // stream.size)
+        x_unit = np.stack(
+            [sig_unit * np.exp(1j * 0.1 * c) for c in range(bank_ch)]
+        ).astype(np.complex64)
+        n_pkts = len(bank.process(x_unit))  # warm-up/compile
+        b_iters = max(iters // 4, 3)
+        blocks0 = bank.stats["blocks"]
+        stats0 = dict(bank.stats)
+        t0 = time.time()
+        for _ in range(b_iters):
+            n_pkts += len(bank.process(x_unit))
+        n_pkts += len(bank._drain())
+        dt_b = time.time() - t0
+        blocks_timed = bank.stats["blocks"] - blocks0
+        stats1 = dict(bank.stats)
+        n_pkts += len(bank.flush())
+        expected = pkts_per_unit * bank_ch * (1 + b_iters)
+        parity_ok = n_pkts == expected and bank.overflow_blocks == 0
+        bank_sustained = (
+            blocks_timed * block * bank_ch / dt_b if parity_ok else 0.0
+        )
+        nb = max(blocks_timed, 1)
+        per_block = lambda k: round(1e3 * (stats1[k] - stats0[k]) / nb, 2)
+        bank_info = {
+            "bank_channels": bank_ch,
+            "bank_sustained_parity_ok": parity_ok,
+            "bank_sustained_expected_pkts": expected,
+            "bank_sustained_decoded_pkts": n_pkts,
+            "bank_h2d_ms_per_block": per_block("h2d_s"),
+            "bank_dispatch_ms_per_block": per_block("dispatch_s"),
+            "bank_materialize_ms_per_block": per_block("materialize_s"),
+        }
+
     result = {
         "metric": "rx_chain_samples_per_sec_per_chip",
         "value": float(f"{sps:.4g}"),
@@ -199,11 +266,13 @@ def main():
         "carrier": carrier,
         "acq_backend": acq_backend,
         "sustained_stream_sps": float(f"{sustained:.4g}"),
+        "bank_sustained_sps": float(f"{bank_sustained:.4g}"),
         "max_detections": max_det,
         "decoded_packet_frac": round(decoded_frac, 4),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         **sustained_info,
+        **bank_info,
     }
     print(json.dumps(result))
 

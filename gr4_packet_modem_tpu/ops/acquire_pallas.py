@@ -290,7 +290,9 @@ def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
     s = n - sync_len + 1
     bf = 16
     fpad = 16
-    t = (fpad + 1) * s + (n - s)
+    # exactly fpad frames: frame fpad-1 spans [.., (fpad-1)*s + n) and the
+    # shifted B view reads up to (fpad+1)*s <= fpad*s + n = t (since n > s)
+    t = fpad * s + n
     rng = np.random.default_rng(11)
     reps = (
         rng.standard_normal((nb, sync_len)) + 1j * rng.standard_normal((nb, sync_len))
@@ -303,7 +305,7 @@ def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
     ).astype(np.complex64)
     pos, bin_true = 3 * s + 137, nb // 2
     x[pos : pos + sync_len] += 5.0 * reps[bin_true]
-    f = (t - n) // s + 1
+    f = fpad  # the kernel's [fpad, n] output covers exactly fpad frames
 
     def views(xf):
         return (

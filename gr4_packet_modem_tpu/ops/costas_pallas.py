@@ -228,8 +228,11 @@ def _probe() -> bool:
     sym = (sym + 0.01 * rng.standard_normal((b, s))).astype(np.complex64)
     ph0 = np.zeros(b, np.float32)
     fr0 = np.zeros(b, np.float32)
+    # complex h2d transfers are unimplemented on this backend — plane-split
+    from ..utils.cplx import to_device
+
     out, ph, fr = costas_track_pallas(
-        jnp.asarray(sym), jnp.asarray(ph0), jnp.asarray(fr0), offset=0
+        to_device(sym), jnp.asarray(ph0), jnp.asarray(fr0), offset=0
     )
     ref, ph_ref, fr_ref = _np_costas(sym, ph0, fr0, 0)
     return bool(

@@ -50,6 +50,13 @@ def probe_verdict(name: str, tag: str, fn) -> bool:
     env = os.environ.get(f"PM_PALLAS_{name.upper()}")
     if env is not None:
         return env == "1"
+    import jax
+
+    # the /tmp cache is a TPU-capability record: an off-TPU process must
+    # neither consult nor write it (a CPU run would cache verdict 0 and
+    # silently disable the kernel for every later TPU process)
+    if jax.default_backend() != "tpu":
+        return False
     key = (name, tag)
     if key in _MEMO:
         return _MEMO[key]

@@ -22,6 +22,7 @@ import numpy as np
 from ..models.receiver import (
     Receiver,
     RxConfig,
+    flatten_detections,
     packet_extent_samples,
     suppress_overlapping,
 )
@@ -32,6 +33,7 @@ from ..utils.ragged import PacketBatch, ragged_concat
 
 __all__ = [
     "StreamingReceiver",
+    "StreamingBank",
     "StreamingTransmitter",
     "PacketToStream",
     "DecodedPacket",
@@ -44,6 +46,7 @@ class DecodedPacket:
     index: int            # absolute sample index of the syncword start
     packet_type: int
     esn0_db: float
+    channel: int = 0      # bank channel (StreamingBank)
 
 
 class StreamingReceiver:
@@ -305,6 +308,246 @@ class StreamingReceiver:
                     self.payload_tap.send(
                         (p[:, 0] + 1j * p[:, 1]).astype(np.complex64)
                     )
+        return out
+
+
+class StreamingBank:
+    """Host-fed multi-channel streaming receiver: the sustained serving path
+    for a whole channel bank on one chip.
+
+    The reference's serving story is its free-running real-time apps
+    (apps/packet_transceiver.cpp:99-131, tun_source.hpp:69-78) — one
+    channel per process. Here C channels stream through ONE compiled step
+    per block: a single ``[2, C, block]`` wire array per block (one h2d
+    transfer, optionally int8 fixed-point), per-channel sliding buffers and
+    in-packet suppression state carried on device, the decode passes
+    lane-packed across all channels' detections (Receiver.decode_bank
+    layout), and ONE packed byte array back per block. Channel-group
+    pipelining (``group``) bounds the working set exactly as in
+    ``Receiver.bank_step``. Results materialize ``pipeline_depth`` blocks
+    behind the feed so d2h overlaps compute.
+    """
+
+    def __init__(
+        self,
+        config: RxConfig = RxConfig(),
+        channels: int = 8,
+        block: int = 1 << 18,
+        transfer_dtype=None,
+        pipeline_depth: int = 2,
+        group: int = 16,
+    ):
+        self.transfer_dtype = transfer_dtype
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self.rx = Receiver(config)
+        self.channels = int(channels)
+        self.block = block
+        self.group = (
+            group if 0 < group < channels and channels % group == 0 else 0
+        )
+        fp, pt = self.rx.front_pad, self.rx.pad_tail()
+        self.fp, self.pt = fp, pt
+        self.buf_len = fp + block + pt
+        if self.buf_len >= 1 << 24:
+            raise ValueError(
+                "block too large: buffer-local indices must stay below 2^24 "
+                "for the packed f32 metadata transfer"
+            )
+        c = self.channels
+        self._buf = jax.lax.complex(
+            jnp.zeros((c, self.buf_len), jnp.float32),
+            jnp.zeros((c, self.buf_len), jnp.float32),
+        )
+        self._abs_offset = -(fp + pt + block)
+        self._busy_dev = jnp.full((c,), -(1 << 30), jnp.int32)
+        self._pending = np.zeros((c, 0), np.complex64)
+        self.overflow_blocks = 0
+        self._inflight: list = []
+        self.stats = {"h2d_s": 0.0, "dispatch_s": 0.0, "materialize_s": 0.0,
+                      "blocks": 0}
+        self._step = jax.jit(self._make_step(), donate_argnums=0)
+
+    def _make_step(self):
+        rx = self.rx
+        from ..utils.cplx import planes_to_complex
+
+        fresh_lo = jnp.int32(self.fp)
+        fresh_hi = jnp.int32(self.fp + self.block)
+        dd = rx.config.max_detections
+        sps = rx.config.samples_per_symbol
+
+        def decode_group(args):
+            g_buf, g_busy = args  # [G, buf_len] complex, [G] int32
+            det = jax.vmap(
+                lambda xc: rx.acquirer.acquire(
+                    xc, fresh_lo=fresh_lo, fresh_hi=fresh_hi
+                )
+            )(g_buf)
+            detf, chan = flatten_detections(det)
+            hdr, _ = rx.decode_headers(g_buf, detf, chan)
+            extent = packet_extent_samples(
+                hdr.packet_length, hdr.header_ok, sps
+            )
+            g = g_buf.shape[0]
+            busy_end, keep = jax.vmap(suppress_overlapping)(
+                det.index, det.valid, extent.reshape(g, dd), g_busy
+            )
+            keep = keep.reshape(-1)
+            res = rx.decode_payloads(g_buf, detf, hdr, keep, chan)
+            return (
+                detf.index, res.lengths, hdr.packet_type, detf.esn0_db,
+                res.accepted, res.data, jnp.any(det.overflow), busy_end,
+            )
+
+        def step(buf, chunk_planes, busy0):
+            chunk = planes_to_complex(chunk_planes)  # [C, block]
+            buf = jnp.concatenate([buf[:, self.block :], chunk], axis=1)
+            c = self.channels
+            if self.group:
+                ng = c // self.group
+                outs = jax.lax.map(
+                    decode_group,
+                    (
+                        buf.reshape(ng, self.group, self.buf_len),
+                        busy0.reshape(ng, self.group),
+                    ),
+                )
+                idx, lens, types, esn0, acc, data, ovf, busy_end = outs
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+                idx, lens, types, esn0, acc, data, busy_end = (
+                    flat(o) for o in (idx, lens, types, esn0, acc, data,
+                                      busy_end)
+                )
+                overflow = jnp.any(ovf)
+            else:
+                (idx, lens, types, esn0, acc, data, overflow, busy_end) = (
+                    decode_group((buf, busy0))
+                )
+            busy_next = jnp.maximum(
+                busy_end.reshape(-1) - jnp.int32(self.block), -(1 << 30)
+            )
+            f32 = jnp.float32
+            meta = jnp.concatenate([
+                idx.astype(f32),
+                lens.astype(f32),
+                types.astype(f32),
+                esn0.astype(f32),
+                acc.astype(f32),
+                overflow.astype(f32)[None],
+            ])
+            meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
+            packed = jnp.concatenate([meta_u8, data.reshape(-1)])
+            return buf, packed, busy_next
+
+        return step
+
+    def process(self, samples: np.ndarray) -> list[DecodedPacket]:
+        """Feed ``[C, n]`` samples (all channels advance in lockstep);
+        returns packets decoded from newly-complete blocks."""
+        import time
+
+        samples = np.asarray(samples, np.complex64)
+        if samples.shape[0] != self.channels:
+            raise ValueError(
+                f"expected [{self.channels}, n] samples, got {samples.shape}"
+            )
+        self._pending = np.concatenate([self._pending, samples], axis=1)
+        out: list[DecodedPacket] = []
+        while self._pending.shape[1] >= self.block:
+            chunk = self._pending[:, : self.block]
+            self._pending = self._pending[:, self.block :]
+            t0 = time.perf_counter()
+            planes = jnp.asarray(
+                to_transfer_planes(chunk, self.transfer_dtype)
+            )
+            self.stats["h2d_s"] += time.perf_counter() - t0
+            out.extend(self._process_block(planes))
+        return out
+
+    def flush(self) -> list[DecodedPacket]:
+        """Drain: pad the tail to a block, push the lookahead through the
+        fresh window, materialize the pipeline (see StreamingReceiver.flush)."""
+        out: list[DecodedPacket] = []
+        if self._pending.shape[1]:
+            pad = np.zeros(
+                (self.channels, self.block - self._pending.shape[1]),
+                np.complex64,
+            )
+            out.extend(self.process(pad))
+        nz = -(-self.pt // self.block)
+        out.extend(
+            self.process(
+                np.zeros((self.channels, nz * self.block), np.complex64)
+            )
+        )
+        out.extend(self._drain())
+        return out
+
+    def _process_block(self, planes: jax.Array) -> list[DecodedPacket]:
+        import time
+
+        t0 = time.perf_counter()
+        self._abs_offset += self.block
+        outs = self._step(self._buf, planes, self._busy_dev)
+        self._buf = outs[0]
+        self._busy_dev = outs[2]
+        self._inflight.append((outs, self._abs_offset))
+        self.stats["dispatch_s"] += time.perf_counter() - t0
+        self.stats["blocks"] += 1
+        out: list[DecodedPacket] = []
+        while len(self._inflight) > self.pipeline_depth:
+            t0 = time.perf_counter()
+            out.extend(self._materialize(self._inflight.pop(0)))
+            self.stats["materialize_s"] += time.perf_counter() - t0
+        return out
+
+    def _drain(self) -> list[DecodedPacket]:
+        import time
+
+        out: list[DecodedPacket] = []
+        while self._inflight:
+            t0 = time.perf_counter()
+            out.extend(self._materialize(self._inflight.pop(0)))
+            self.stats["materialize_s"] += time.perf_counter() - t0
+        return out
+
+    def _materialize(self, inflight) -> list[DecodedPacket]:
+        outs, abs_offset = inflight
+        rows = self.channels * self.rx.config.max_detections
+        max_len = self.rx.config.max_payload_len
+        packed = np.asarray(outs[1])
+        meta_bytes = 4 * (5 * rows + 1)
+        meta = packed[:meta_bytes].view(np.float32)
+        data = packed[meta_bytes:].reshape(rows, max_len)
+        idxs = meta[0 * rows : 1 * rows].astype(np.int64)
+        lens = meta[1 * rows : 2 * rows].astype(np.int64)
+        types = meta[2 * rows : 3 * rows].astype(np.int64)
+        esn0 = meta[3 * rows : 4 * rows]
+        accepted = meta[4 * rows : 5 * rows] > 0.5
+        if meta[5 * rows] > 0.5:
+            self.overflow_blocks += 1
+            if self.overflow_blocks == 1:
+                import warnings
+
+                warnings.warn(
+                    "acquisition candidate cap saturated (max_detections "
+                    f"= {self.rx.config.max_detections}); packets may be "
+                    "dropped — raise RxConfig.max_detections",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+        dd = self.rx.config.max_detections
+        out = []
+        for i in np.nonzero(accepted)[0]:
+            out.append(
+                DecodedPacket(
+                    data=data[i, : lens[i]].copy(),
+                    index=int(idxs[i]) + abs_offset,
+                    packet_type=int(types[i]),
+                    esn0_db=float(esn0[i]),
+                    channel=int(i // dd),
+                )
+            )
         return out
 
 
