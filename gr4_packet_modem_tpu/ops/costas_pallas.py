@@ -228,15 +228,26 @@ def _probe() -> bool:
     sym = (sym + 0.01 * rng.standard_normal((b, s))).astype(np.complex64)
     ph0 = np.zeros(b, np.float32)
     fr0 = np.zeros(b, np.float32)
-    # complex h2d transfers are unimplemented on this backend — plane-split
-    from ..utils.cplx import to_device
 
-    out, ph, fr = costas_track_pallas(
-        to_device(sym), jnp.asarray(ph0), jnp.asarray(fr0), offset=0
+    # probe through a real-plane jit boundary, as production always runs it
+    # (the receiver inlines the kernel in a larger program; a STANDALONE
+    # program with complex64 inputs/outputs hits an unrelated unimplemented
+    # path on this backend — complex h2d and complex-boundary staging)
+    @jax.jit
+    def probe_fn(re, im, p0, f0):
+        out, ph, fr = costas_track_pallas(
+            jax.lax.complex(re, im), p0, f0, offset=0
+        )
+        return out.real, out.imag, ph, fr
+
+    outr, outi, ph, fr = probe_fn(
+        jnp.asarray(sym.real), jnp.asarray(sym.imag),
+        jnp.asarray(ph0), jnp.asarray(fr0),
     )
+    out = np.asarray(outr) + 1j * np.asarray(outi)
     ref, ph_ref, fr_ref = _np_costas(sym, ph0, fr0, 0)
     return bool(
-        np.allclose(np.asarray(out), ref, atol=2e-2)
+        np.allclose(out, ref, atol=2e-2)
         and np.allclose(np.asarray(ph), ph_ref, atol=2e-2)
         and np.allclose(np.asarray(fr), fr_ref, atol=1e-3)
     )
