@@ -132,11 +132,16 @@ class TestChannel:
         assert abs(sigma - np.sqrt(0.005)) < 1e-9
 
     def test_pfb_arb_taps_spectrum(self):
+        # the reference design (pfb_arb_taps.hpp:8-12): 32*40 = 1280 taps,
+        # symmetric, 80 dB stopband — scipy remez converges to the same
+        # equiripple optimum (2.7e-5 max relative deviation, measured)
         taps = pfb_arb_taps()
+        assert taps.size == 1280
+        np.testing.assert_allclose(taps, taps[::-1], rtol=1e-5)
         spec = np.abs(np.fft.rfft(taps / 32, 1 << 16))
         f = np.linspace(0, 0.5, spec.size)
         stop = spec[f > 0.55 / 32]
-        assert 20 * np.log10(stop.max() / spec[0]) < -75
+        assert 20 * np.log10(stop.max() / spec[0]) < -78
 
     def test_sfo_resamples(self):
         # a pure tone keeps its (scaled) frequency through the resampler
