@@ -8,13 +8,16 @@ program with every operand resident in VMEM: per step it reads one [1, 128]
 symbol row, does ~15 VPU ops, and writes the corrected row back in place —
 no per-step dispatch, no HBM round-trips.
 
-Layout: symbols ``[S, B]`` (batch in lanes, symbols in sublanes), tiled by a
-2-D grid ``(lane_blocks, symbol_blocks)``:
+Layout: each symbol is one ``[8, 128]`` sublane x lane tile carrying 1024
+batch rows, so a single sequential step advances 1024 packets (the round-3
+layout put the batch in lanes only — [1, 128] rows left 7/8 of the VPU's
+sublanes idle and needed 8x more sequential chains). The grid is
+``(lane_tiles, symbol_blocks)``:
 
-- the **lane** dimension packs the batch into 128-lane tiles — a receiver
-  bank hands ALL channels' detections (C x D lanes) to ONE kernel call, so
-  the VPU runs at full lane utilization instead of one underfilled kernel
-  instance per channel (the round-2 vmap serialization, docs/PERF_R2.md);
+- the **lane-tile** dimension packs the batch into 1024-row tiles — a
+  receiver bank hands ALL channels' detections (C x D rows) to ONE kernel
+  call, so the VPU runs at full utilization instead of one underfilled
+  kernel instance per channel (the round-2 vmap serialization);
 - the **symbol** dimension iterates sequentially (innermost grid dim) with
   the loop state (phase, freq) carried across blocks in VMEM scratch, so the
   packet length is unbounded — the full u16 payload envelope (65,535 bytes =
@@ -61,6 +64,9 @@ _PI = np.float32(np.pi)
 _TWO_PI = np.float32(2 * np.pi)
 
 
+_LW = 8  # sublane width: batch rows advanced per sequential step = _LW * 128
+
+
 def _make_kernel(num_syms: int, offset: int, sym_block: int):
     k1a, k2a = costas_coefficients(C.SYNCWORD_COSTAS_BW, False)
     k1b, k2b = costas_coefficients(C.HEADER_COSTAS_BW, True)
@@ -74,16 +80,16 @@ def _make_kernel(num_syms: int, offset: int, sym_block: int):
         sb = pl.program_id(1)
         nsb = pl.num_programs(1)
 
-        # first symbol block of each lane block: seed the carried state
+        # first symbol block of each lane tile: seed the carried state
         @pl.when(sb == 0)
         def _seed():
-            ph_scr[:] = ph0_ref[:]
-            fr_scr[:] = fr0_ref[:]
+            ph_scr[:] = ph0_ref[0]
+            fr_scr[:] = fr0_ref[0]
 
         base = sb * sym_block
 
         def body(s, carry):
-            ph, fr = carry  # [1, 128] float32
+            ph, fr = carry  # [_LW, 128] float32 — 1024 packets per step
             g = base + s + offset  # global symbol index in the packet
             pilot = g < C.SYNCWORD_LEN
             k1 = jnp.where(
@@ -96,8 +102,9 @@ def _make_kernel(num_syms: int, offset: int, sym_block: int):
                 jnp.float32(k2a),
                 jnp.where(g < _HDR_END, jnp.float32(k2b), jnp.float32(k2c)),
             )
-            xr = re_ref[pl.ds(s, 1), :]
-            xi = im_ref[pl.ds(s, 1), :]
+            # one symbol = one [_LW, 128] tile (sublane start 8-aligned)
+            xr = re_ref[0, pl.ds(_LW * s, _LW), :]
+            xi = im_ref[0, pl.ds(_LW * s, _LW), :]
             c = jnp.cos(ph)
             sn = jnp.sin(ph)
             zr = xr * c + xi * sn
@@ -108,8 +115,8 @@ def _make_kernel(num_syms: int, offset: int, sym_block: int):
             ph = ph + k1 * e + fr
             ph = jnp.where(ph >= _PI, ph - _TWO_PI, ph)
             ph = jnp.where(ph < -_PI, ph + _TWO_PI, ph)
-            out_re_ref[pl.ds(s, 1), :] = zr
-            out_im_ref[pl.ds(s, 1), :] = zi
+            out_re_ref[0, pl.ds(_LW * s, _LW), :] = zr
+            out_im_ref[0, pl.ds(_LW * s, _LW), :] = zi
             return ph, fr
 
         # partial trailing block: loop only over the real symbols
@@ -120,8 +127,8 @@ def _make_kernel(num_syms: int, offset: int, sym_block: int):
 
         @pl.when(sb == nsb - 1)
         def _finish():
-            ph_end_ref[:] = ph_scr[:]
-            fr_end_ref[:] = fr_scr[:]
+            ph_end_ref[0] = ph_scr[:]
+            fr_end_ref[0] = fr_scr[:]
 
     return kernel
 
@@ -140,41 +147,71 @@ def costas_track_pallas(
     positional schedule. Any B (tiled into 128-lane blocks) and any S (tiled
     into SYM_BLOCK grid steps with the loop state carried in scratch)."""
     b, s = symbols.shape
-    b_pad = max(128, -(-b // 128) * 128)
-    sym_block = min(SYM_BLOCK, -(-s // 8) * 8)
+    lanes = _LW * 128  # 1024 batch rows per lane tile
+    nlt = -(-b // lanes)
+    b_pad = nlt * lanes
+    # symbol rows per grid step: _LW sublanes per symbol, so divide the
+    # VMEM budget accordingly (1 MB per plane block at the default)
+    sym_block = min(max(SYM_BLOCK // _LW, 8), -(-s // 8) * 8)
     nsb = -(-s // sym_block)
     s_pad = nsb * sym_block
-    re = jnp.zeros((s_pad, b_pad), jnp.float32).at[:s, :b].set(symbols.real.T)
-    im = jnp.zeros((s_pad, b_pad), jnp.float32).at[:s, :b].set(symbols.imag.T)
-    ph0 = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(
-        phase0.astype(jnp.float32)
+
+    def to_plane(a):
+        # [B, S] real -> [nlt, s_pad*_LW, 128]: row _LW*t + j of tile l
+        # holds symbol t of batch rows l*1024 + j*128 + lane
+        p = jnp.zeros((s_pad, b_pad), jnp.float32).at[:s, :b].set(a.T)
+        return p.reshape(s_pad, nlt, _LW, 128).transpose(1, 0, 2, 3).reshape(
+            nlt, s_pad * _LW, 128
+        )
+
+    re = to_plane(symbols.real)
+    im = to_plane(symbols.imag)
+
+    def to_state(a):
+        return (
+            jnp.zeros(b_pad, jnp.float32)
+            .at[:b].set(a.astype(jnp.float32))
+            .reshape(nlt, _LW, 128)
+        )
+
+    ph0 = to_state(phase0)
+    fr0 = to_state(freq0)
+    state_spec = pl.BlockSpec((1, _LW, 128), lambda l, sb: (l, 0, 0))
+    plane_spec = pl.BlockSpec(
+        (1, sym_block * _LW, 128), lambda l, sb: (l, sb, 0)
     )
-    fr0 = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(
-        freq0.astype(jnp.float32)
-    )
-    nlb = b_pad // 128
-    state_spec = pl.BlockSpec((1, 128), lambda l, sb: (0, l))
-    plane_spec = pl.BlockSpec((sym_block, 128), lambda l, sb: (sb, l))
     out_re, out_im, ph_end, fr_end = pl.pallas_call(
         _make_kernel(s, offset, sym_block),
-        grid=(nlb, nsb),
+        grid=(nlt, nsb),
         out_shape=(
-            jax.ShapeDtypeStruct((s_pad, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((s_pad, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nlt, s_pad * _LW, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nlt, s_pad * _LW, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nlt, _LW, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nlt, _LW, 128), jnp.float32),
         ),
         in_specs=[state_spec, state_spec, plane_spec, plane_spec],
         out_specs=(plane_spec, plane_spec, state_spec, state_spec),
         scratch_shapes=[
-            pltpu.VMEM((1, 128), jnp.float32),
-            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((_LW, 128), jnp.float32),
+            pltpu.VMEM((_LW, 128), jnp.float32),
         ],
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(ph0, fr0, re, im)
-    corrected = jax.lax.complex(out_re[:s, :b].T, out_im[:s, :b].T)
-    return corrected, ph_end[0, :b], fr_end[0, :b]
+
+    def from_plane(p):
+        return p.reshape(nlt, s_pad, _LW, 128).transpose(1, 0, 2, 3).reshape(
+            s_pad, b_pad
+        )
+
+    corrected = jax.lax.complex(
+        from_plane(out_re)[:s, :b].T, from_plane(out_im)[:s, :b].T
+    )
+    return (
+        corrected,
+        ph_end.reshape(b_pad)[:b],
+        fr_end.reshape(b_pad)[:b],
+    )
 
 
 def _np_costas(sym, ph0, fr0, offset):

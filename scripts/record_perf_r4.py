@@ -75,13 +75,24 @@ def main():
             continue
         env = dict(os.environ, **env_over)
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "bench.py")],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # a wedged tunnel must not kill the whole matrix: record the
+            # timeout and move on (the next config gets a fresh process)
+            with open(OUT, "a") as f:
+                f.write(json.dumps({
+                    "label": label, "git": rev, "rc": -9,
+                    "wall_s": round(time.time() - t0, 1),
+                    "error": "timeout 1800s",
+                }) + "\n")
+            continue
         wall = time.time() - t0
         line = None
         for ln in reversed(proc.stdout.strip().splitlines()):
