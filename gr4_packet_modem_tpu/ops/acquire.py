@@ -185,6 +185,10 @@ class SyncwordAcquirer:
         ).astype(np.float32)
         self._noise_filter = hp  # numpy: embedded at trace time
         self._noise_gain = float(np.sum(hp**2))
+        # resolve the backend EAGERLY: "auto" consults the fused kernel's
+        # capability probe, which must run outside any jit trace (a cold
+        # probe at trace time cannot execute — ops/pallas_probe.py)
+        config.resolved_backend()
 
     # ------------------------------------------------------------ correlation
 

@@ -8,6 +8,17 @@ this backend, which dominates both decode passes. This kernel makes the
 starts a *scalar-prefetch* operand (one readback for the whole [D] array
 into SMEM) and issues one HBM->VMEM DMA per grid step.
 
+Alignment: Mosaic requires HBM slice indices/shapes to be *provably*
+divisible by the source tiling (1024 for 1-D f32; 8 rows for a [.., 128]
+2-D view) — arbitrary dynamic starts are rejected at compile time ("Failed
+to prove that a tile index ... is divisible"). The kernel therefore views
+the samples as ``[T/128, 128]``, DMAs the enclosing window at row
+``(s0 // 1024) * 8`` (divisible by construction), and extracts the
+residual offset with exact one-hot selection matmuls (row shift + lane
+shift with carry). The selections run at ``Precision.HIGHEST``: the MXU's
+default bf16 multiply corrupts f32 sample values even against an exact
+one-hot (measured: 517 -> 516).
+
 The caller clips starts to [0, T - R]; derotation/filtering stay in XLA
 (they are fast once the regions are materialized).
 """
@@ -23,34 +34,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_probe import probe_verdict, source_tag
 
-__all__ = ["fetch_regions", "fetch_enabled"]
+__all__ = ["fetch_regions", "fetch_rows", "fetch_enabled"]
 
 
 def _probe() -> bool:
     """Compile-and-VALIDATE the fetch kernel once on the live backend, at a
     *representative* shape: an unaligned region length (the receiver fetches
     297-tap syncword windows -> rpad 384) and odd dynamic starts. Mosaic
-    toolchains differ in what they accept — the r2-era chipless AOT compiler
-    rejected make_async_copy outright, while the current one compiles the
-    kernel but requires HBM->VMEM slice shapes aligned to the source tiling
-    (1024 for a 1-D f32 memref), which arbitrary-start sample windows cannot
-    satisfy. Probing a tiny aligned shape would report capability the
-    production shapes don't have (that bug shipped briefly in round 3), so
-    the probe mirrors production. The fetched windows are checked against
-    the expected slices of distinguishable (arange) data — a toolchain that
-    silently clamps or misaligns the DMA must fail the probe, not corrupt
-    every later extraction (advisor r3)."""
+    toolchains differ in what they accept (the r2-era chipless AOT compiler
+    rejected make_async_copy outright), so the fetched windows are checked
+    against the expected slices of distinguishable (arange) data — a
+    toolchain that silently clamps or misaligns the DMA, or a lowering that
+    loses sample bits, must fail the probe, not corrupt every later
+    extraction (advisor r3)."""
     import numpy as np
 
     if jax.default_backend() != "tpu":
         return False
     x = np.arange(8192, dtype=np.float32)
-    starts = np.asarray([3, 517, 4099], np.int32)
+    starts = np.asarray([3, 517, 1023, 4099], np.int32)
     out = np.asarray(
         fetch_rows(jnp.asarray(x), jnp.asarray(starts), 297)
     )
     expect = np.stack([x[s : s + 297] for s in starts])
-    return bool((out == expect).all())
+    ok1 = bool((out == expect).all())
+    outr, outi = fetch_regions(
+        jnp.asarray(x), jnp.asarray(-x), jnp.asarray(starts), 297
+    )
+    ok2 = bool(
+        (np.asarray(outr) == expect).all()
+        and (np.asarray(outi) == -expect).all()
+    )
+    return ok1 and ok2
 
 
 def fetch_enabled() -> bool:
@@ -64,38 +79,80 @@ def fetch_enabled() -> bool:
     return probe_verdict("fetch", source_tag(sys.modules[__name__]), _probe)
 
 
-def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi):
+_HI = jax.lax.Precision.HIGHEST  # exact f32 one-hot selection (see module doc)
+
+
+def _extract(w, s0, rpr: int):
+    """Select rows ``[off : off + rpr*128)`` (flattened) from the aligned
+    window ``w [WR, 128]``, where ``off = s0 % 1024``: a row-shift one-hot
+    matmul then a lane shift with cross-row carry. Returns ``[rpr, 128]``."""
+    wr = w.shape[0]
+    off = s0 - (s0 // 1024) * 1024
+    sub = off // 128
+    r = off - sub * 128
+    # row shift: v[t] = w[t + sub]
+    t = jax.lax.broadcasted_iota(jnp.int32, (rpr + 1, wr), 0)
+    u = jax.lax.broadcasted_iota(jnp.int32, (rpr + 1, wr), 1)
+    m1 = (u == t + sub).astype(jnp.float32)
+    v = jnp.dot(m1, w, preferred_element_type=jnp.float32, precision=_HI)
+    # lane shift: out[t, b] = v[t, b+r] (b+r < 128) else v[t+1, b+r-128]
+    a = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rm = (a == b + r).astype(jnp.float32)
+    rc = (a == b + r - 128).astype(jnp.float32)
+    return jnp.dot(
+        v[:rpr], rm, preferred_element_type=jnp.float32, precision=_HI
+    ) + jnp.dot(
+        v[1:], rc, preferred_element_type=jnp.float32, precision=_HI
+    )
+
+
+def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi,
+            wr_scr, wi_scr):
     d = pl.program_id(0)
     s0 = starts_ref[d]
-    r = outr_ref.shape[-1]
-    cr = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(s0, r)], outr_ref.at[0, 0], semr
-    )
-    ci = pltpu.make_async_copy(
-        xi_hbm.at[pl.ds(s0, r)], outi_ref.at[0, 0], semi
-    )
+    wr = wr_scr.shape[0]
+    row0 = (s0 // 1024) * 8  # divisible by 8 by construction
+    cr = pltpu.make_async_copy(xr_hbm.at[pl.ds(row0, wr)], wr_scr, semr)
+    ci = pltpu.make_async_copy(xi_hbm.at[pl.ds(row0, wr)], wi_scr, semi)
     cr.start()
     ci.start()
     cr.wait()
     ci.wait()
+    rpr = outr_ref.shape[-2]
+    outr_ref[0] = _extract(wr_scr[:], s0, rpr)
+    outi_ref[0] = _extract(wi_scr[:], s0, rpr)
 
 
-def _kernel1(starts_ref, x_hbm, out_ref, sem):
+def _kernel1(starts_ref, x_hbm, out_ref, sem, w_scr):
     d = pl.program_id(0)
     s0 = starts_ref[d]
-    r = out_ref.shape[-1]
-    c = pltpu.make_async_copy(x_hbm.at[pl.ds(s0, r)], out_ref.at[0, 0], sem)
+    wr = w_scr.shape[0]
+    row0 = (s0 // 1024) * 8
+    c = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, wr)], w_scr, sem)
     c.start()
     c.wait()
+    out_ref[0] = _extract(w_scr[:], s0, out_ref.shape[-2])
+
+
+def _geometry(t: int, region_len: int) -> tuple[int, int, int]:
+    """(rpad, wsize, t2): padded region, aligned DMA window covering any
+    ``off < 1024`` plus the region, and the padded sample length that keeps
+    every window in bounds (starts are caller-clipped to T - region_len, so
+    bases reach at most T - region_len rounded down; t2 >= that + wsize)."""
+    rpad = -(-region_len // 128) * 128
+    wsize = 1024 * (-(-(1023 + rpad) // 1024))
+    t2 = -(-t // 1024) * 1024 + wsize
+    return rpad, wsize, t2
 
 
 def _fetch_rows_impl(
     x: jax.Array, starts: jax.Array, region_len: int, interpret: bool
 ) -> jax.Array:
     d = starts.shape[0]
-    rpad = -(-region_len // 128) * 128
-    if rpad != region_len:
-        x = jnp.concatenate([x, jnp.zeros(rpad - region_len, x.dtype)])
+    rpad, wsize, t2 = _geometry(x.shape[0], region_len)
+    x = jnp.concatenate([x, jnp.zeros(t2 - x.shape[0], x.dtype)])
+    x2 = x.reshape(t2 // 128, 128)
     out = pl.pallas_call(
         _kernel1,
         grid=(d,),
@@ -103,12 +160,15 @@ def _fetch_rows_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
-        out_shape=jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
+        out_specs=pl.BlockSpec((1, rpad // 128, 128), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((wsize // 128, 128), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((d, rpad // 128, 128), jnp.float32),
         interpret=interpret,
-    )(starts.astype(jnp.int32), x)
-    return out[:, 0, :region_len]
+    )(starts.astype(jnp.int32), x2)
+    return out.reshape(d, rpad)[:, :region_len]
 
 
 def fetch_rows(
@@ -162,13 +222,12 @@ def _fetch_regions_impl(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     d = starts.shape[0]
-    # TPU blocks need a 128-divisible trailing dim; regions are padded and
-    # the input extended so the padded tail never reads out of bounds
-    rpad = -(-region_len // 128) * 128
-    if rpad != region_len:
-        ext = jnp.zeros(rpad - region_len, xr.dtype)
-        xr = jnp.concatenate([xr, ext])
-        xi = jnp.concatenate([xi, ext])
+    rpad, wsize, t2 = _geometry(xr.shape[0], region_len)
+    ext = jnp.zeros(t2 - xr.shape[0], xr.dtype)
+    x2r = jnp.concatenate([xr, ext]).reshape(t2 // 128, 128)
+    x2i = jnp.concatenate([xi, ext]).reshape(t2 // 128, 128)
+    out_spec = pl.BlockSpec((1, rpad // 128, 128), lambda i: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((d, rpad // 128, 128), jnp.float32)
     outr, outi = pl.pallas_call(
         _kernel,
         grid=(d,),
@@ -177,21 +236,20 @@ def _fetch_regions_impl(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, rpad), lambda i: (i, 0, 0)),
-        ),
+        out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((wsize // 128, 128), jnp.float32),
+            pltpu.VMEM((wsize // 128, 128), jnp.float32),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
-            jax.ShapeDtypeStruct((d, 1, rpad), jnp.float32),
-        ),
+        out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(starts.astype(jnp.int32), xr, xi)
-    return outr[:, 0, :region_len], outi[:, 0, :region_len]
+    )(starts.astype(jnp.int32), x2r, x2i)
+    return (
+        outr.reshape(d, rpad)[:, :region_len],
+        outi.reshape(d, rpad)[:, :region_len],
+    )
 
 
 def fetch_regions(

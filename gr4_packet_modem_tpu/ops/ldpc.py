@@ -115,6 +115,12 @@ class HeaderLdpcDecoder:
         self._vidx = vidx
         self._vmask = vmask
         self._h = h.astype(np.float32)
+        if use_pallas is None and jax.default_backend() == "tpu":
+            # pre-warm the capability probe EAGERLY: decode() consults it at
+            # trace time, where a cold probe cannot run (ops/pallas_probe.py)
+            from .ldpc_pallas import ldpc_enabled
+
+            ldpc_enabled()
 
     @partial(jax.jit, static_argnums=0)
     def decode(self, llrs: jax.Array) -> tuple[jax.Array, jax.Array]:

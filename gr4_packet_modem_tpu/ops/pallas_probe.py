@@ -31,6 +31,16 @@ __all__ = ["source_tag", "probe_verdict"]
 _MEMO: dict[tuple[str, str], bool] = {}
 
 
+def _tracing_active() -> bool:
+    """True when called under an active JAX trace (jit/vmap/scan tracing)."""
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except Exception:
+        return False
+
+
 def source_tag(*modules) -> str:
     """Stable short hash of the given modules' source text (cache-busting
     version tag: editing any probed kernel invalidates its /tmp verdict)."""
@@ -68,9 +78,38 @@ def probe_verdict(name: str, tag: str, fn) -> bool:
     except OSError:
         pass
     if verdict is None:
+        # a probe may be reached while TRACING a production program (the
+        # first jit of a receiver step on a fresh machine, before any /tmp
+        # verdict exists): inside a trace the probe's jitted calls are
+        # staged into the outer program and its host-side result checks see
+        # tracers, so every probe "fails" and caches verdict 0, silently
+        # disabling all kernels (this broke the round-4 bench on a cold
+        # machine; ensure_compile_time_eval is no escape — it leaks into
+        # the probe kernel's own pallas trace, where program_id has no eval
+        # rule). Constructors pre-warm their kernels' probes eagerly
+        # (Receiver/SyncwordAcquirer/HeaderLdpcDecoder __init__); if a
+        # bare-ops caller still gets here under a trace, decline the fast
+        # path for THIS trace without caching, so a later eager call can
+        # still probe properly.
+        if _tracing_active():
+            import sys as _sys
+
+            print(
+                f"[pm_probe] {name}: probe requested while tracing — "
+                "fast path disabled for this program; construct the "
+                "Receiver (or call the *_enabled() hook) eagerly first",
+                file=_sys.stderr,
+                flush=True,
+            )
+            return False
         try:
             verdict = bool(fn())
         except Exception:
+            if os.environ.get("PM_PROBE_DEBUG"):
+                import traceback
+
+                print(f"[pm_probe {name}] FAILED:", flush=True)
+                traceback.print_exc()
             verdict = False
         try:
             with open(cache, "w") as f:
