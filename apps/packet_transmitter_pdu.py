@@ -52,6 +52,10 @@ def main():
                 sink.write(tx.send_stream(chunk))
             else:
                 sink.write(tx.send_burst(chunk))
+        if stream_mode:
+            # a finite stream must flush the interpolator history or the
+            # last packet's tail samples never leave the filter
+            sink.write(tx.flush_stream())
     print(f"wrote {count} packets of {packet_len} bytes to {out_file}")
 
 

@@ -128,8 +128,13 @@ class StreamingReceiver:
         rx = self.rx
         from ..utils.cplx import planes_to_complex
 
-        fresh_lo = jnp.int32(self.fp)
-        fresh_hi = jnp.int32(self.fp + self.block)
+        # numpy scalars, NOT eager jnp scalars: a jitted closure that
+        # captures an eagerly-created device array throttles every
+        # subsequent h2d transfer in the process ~80x on this backend
+        # (1.6 GB/s -> 20 MB/s, measured round 4 — the captured constant
+        # buffer forces the tunnel client onto a per-transfer sync path)
+        fresh_lo = np.int32(self.fp)
+        fresh_hi = np.int32(self.fp + self.block)
 
         def step(buf, chunk_planes, busy0):
             # dequantize the wire planes and slide the buffer INSIDE the jit
@@ -371,8 +376,13 @@ class StreamingBank:
         rx = self.rx
         from ..utils.cplx import planes_to_complex
 
-        fresh_lo = jnp.int32(self.fp)
-        fresh_hi = jnp.int32(self.fp + self.block)
+        # numpy scalars, NOT eager jnp scalars: a jitted closure that
+        # captures an eagerly-created device array throttles every
+        # subsequent h2d transfer in the process ~80x on this backend
+        # (1.6 GB/s -> 20 MB/s, measured round 4 — the captured constant
+        # buffer forces the tunnel client onto a per-transfer sync path)
+        fresh_lo = np.int32(self.fp)
+        fresh_hi = np.int32(self.fp + self.block)
         dd = rx.config.max_detections
         sps = rx.config.samples_per_symbol
 
@@ -644,3 +654,27 @@ class StreamingTransmitter:
         )
         self._fir_carry = carry
         return to_host(samples)[: int(total)]
+
+    def flush_stream(self) -> np.ndarray:
+        """Flush the stream-mode FIR history with zero symbols and return
+        the tail samples. A finite stream needs this: the interpolator's
+        carry holds the last ``arm_len - 1`` symbols' contribution, so
+        without a flush the final packet's last samples never leave the
+        filter and the tail packet fails its matched filter / CRC. (The
+        reference's burst chain appends explicit zero flush symbols for the
+        same reason, packet_transmitter_pdu.hpp:251-259; its stream mode
+        never terminates.) Resets the carry for a fresh stream."""
+        import jax.numpy as jnp
+
+        from ..ops.fir import stream_interpolating_fir
+
+        if self._fir_carry is None:
+            return np.zeros(0, np.complex64)
+        sps = self.tx.config.samples_per_symbol
+        arm_len = -(-self.tx.taps.size // sps)
+        zeros = jnp.zeros(arm_len - 1, jnp.complex64)
+        _, samples = stream_interpolating_fir(
+            self._fir_carry, zeros, self.tx.taps, sps
+        )
+        self._fir_carry = None
+        return to_host(samples)

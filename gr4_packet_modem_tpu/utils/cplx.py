@@ -12,6 +12,8 @@ jnp complex constant triggers a device-to-host copy at lowering time).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,20 +69,48 @@ def to_host(x) -> np.ndarray:
 INT8_SCALE = 64.0
 
 
+def _quantize_int8_into(src: np.ndarray, dst: np.ndarray) -> None:
+    """``dst[:] = clip(round(src * INT8_SCALE))`` in one thread-parallel
+    pass. Numpy ufuncs release the GIL, so chunking over a thread pool
+    scales with cores — the serial multi-pass form measured ~470 ms for a
+    64-channel 2^19 block on the streaming path (the dominant host cost)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    flat_src = src.reshape(-1)
+    flat_dst = dst.reshape(-1)
+    n = flat_src.size
+    workers = min(8, os.cpu_count() or 1)
+    chunk = -(-n // workers)
+
+    def work(i):
+        s = slice(i * chunk, min((i + 1) * chunk, n))
+        tmp = np.multiply(flat_src[s], INT8_SCALE)
+        np.rint(tmp, out=tmp)
+        np.clip(tmp, -127, 127, out=tmp)
+        flat_dst[s] = tmp  # cast on assignment
+
+    if n < (1 << 20) or workers == 1:
+        for i in range(workers):
+            work(i)
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        list(ex.map(work, range(workers)))
+
+
 def to_transfer_planes(x: np.ndarray, transfer_dtype=None) -> np.ndarray:
-    """Pack complex host samples into ONE ``[2, T]`` real plane array in the
-    wire dtype (f32 / bf16 / int8-fixed-point). A single contiguous array =
-    a single h2d transfer; the inverse (``planes_to_complex``) runs inside
-    the consumer's jit so no unjitted device ops are dispatched — each
-    unjitted op costs a ~3 ms tunnel round-trip, which dominated the
+    """Pack complex host samples into ONE ``[2, ...]`` real plane array in
+    the wire dtype (f32 / bf16 / int8-fixed-point). A single contiguous
+    array = a single h2d transfer; the inverse (``planes_to_complex``) runs
+    inside the consumer's jit so no unjitted device ops are dispatched —
+    each unjitted op costs a ~3 ms tunnel round-trip, which dominated the
     round-2 streaming h2d budget."""
     x = np.asarray(x)
-    re, im = np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)
     if transfer_dtype is not None and jnp.dtype(transfer_dtype) == jnp.int8:
-        q = lambda p: np.clip(
-            np.round(p * INT8_SCALE), -127, 127
-        ).astype(np.int8)
-        return np.stack([q(re), q(im)])
+        out = np.empty((2,) + x.shape, np.int8)
+        _quantize_int8_into(np.ascontiguousarray(x.real), out[0])
+        _quantize_int8_into(np.ascontiguousarray(x.imag), out[1])
+        return out
+    re, im = np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)
     if transfer_dtype is not None:
         import ml_dtypes  # numpy-side bfloat16 (jnp.bfloat16's np dtype)
 

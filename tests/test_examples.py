@@ -19,7 +19,9 @@ FAST_EXAMPLES = [
     "header_roundtrip.py",
     "messages.py",
     "minimal_flowgraph.py",
+    "packet_ingress.py",
     "packet_to_stream.py",
+    "stream_pdu_domains.py",
     "pfb_arb_resampler.py",
     "qpsk_modulator.py",
     "receiver_bank_serving.py",

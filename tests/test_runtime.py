@@ -52,7 +52,11 @@ class TestStreaming:
         payloads = [(np.arange(n) % 256).astype(np.uint8) for n in [50, 80, 20]]
         sig1 = tx.send_stream(payloads[:2])
         sig2 = tx.send_stream(payloads[2:])
-        flush = tx.send_stream([np.zeros(16, np.uint8)])  # flush via extra pkt
+        # a finite stream must flush the FIR history or the LAST packet's
+        # tail samples never leave the filter (regression: the file apps
+        # lost the final stream-mode packet before flush_stream existed)
+        flush = tx.flush_stream()
+        assert flush.size > 0
         x = np.concatenate([sig1, sig2, flush])
         rx = StreamingReceiver(
             RxConfig(max_payload_len=128, max_detections=8), block=4096
@@ -60,10 +64,8 @@ class TestStreaming:
         got = rx.process(x)
         got += rx.flush()
         datas = [g.data for g in got]
-        # the final flush packet's own RRC tail is truncated (same as the
-        # reference's cut-off last packet in stream mode), so expect >= 3
-        assert len(datas) >= 3
-        for g, p in zip(datas[:3], payloads):
+        assert len(datas) == len(payloads)
+        for g, p in zip(datas, payloads):
             np.testing.assert_array_equal(g, p)
 
     def test_flush_on_block_boundary(self):
