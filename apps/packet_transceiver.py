@@ -159,6 +159,20 @@ def main():
                 f"rate {rep.rate_now / 1e6:.2f} Msps (avg "
                 f"{rep.rate_avg / 1e6:.2f}), sent {sent}, received {received}"
             )
+    if args.stream:
+        # flush the TX interpolator history through the receiver so the
+        # final in-flight packet's tail samples are not lost
+        tail = tx.flush_stream()
+        if tail.size:
+            for pkt in rx.process(tail):
+                received += 1
+                credit.release()
+                if tun_out is not None:
+                    tun_out.write_packet(pkt.data.tobytes())
+    for pkt in rx.flush():
+        received += 1
+        if tun_out is not None:
+            tun_out.write_packet(pkt.data.tobytes())
     print(f"done: sent {sent}, received {received}")
 
 

@@ -70,6 +70,10 @@ def main():
             )
             sink.write(sig)
             sent += len(payloads)
+        if args.stream:
+            # flush the interpolator history or the last packet's tail
+            # samples never leave the filter
+            sink.write(tx.flush_stream())
     print(f"sent {sent} packets")
 
 

@@ -242,11 +242,14 @@ class Receiver:
             config.ldpc_iterations, use_pallas=config.use_pallas
         )
         self._crc = make_crc32_engine(config.max_payload_len)
-        if config.use_pallas is None and jax.default_backend() == "tpu":
-            # pre-warm every auto-enabled kernel's capability probe EAGERLY:
+        if config.use_pallas is not False and jax.default_backend() == "tpu":
+            # pre-warm every consulted kernel's capability probe EAGERLY:
             # the step functions consult them at trace time, where a cold
             # probe cannot run (ops/pallas_probe.py; the LDPC and fused-
-            # acquisition probes are warmed by their own constructors above)
+            # acquisition probes are warmed by their own constructors
+            # above). use_pallas=True still consults the fetch/matched
+            # probes (an explicitly forced costas/LDPC kernel does not),
+            # so warm on None AND True.
             costas_enabled()
             fetch_enabled()
             if self.arm_len <= max_taps(sps):

@@ -187,8 +187,15 @@ class SyncwordAcquirer:
         self._noise_gain = float(np.sum(hp**2))
         # resolve the backend EAGERLY: "auto" consults the fused kernel's
         # capability probe, which must run outside any jit trace (a cold
-        # probe at trace time cannot execute — ops/pallas_probe.py)
+        # probe at trace time cannot execute — ops/pallas_probe.py).
+        # _corr_points consults the fetch probe the same way, so warm it
+        # here too (a standalone acquirer never passes through Receiver's
+        # pre-warm).
         config.resolved_backend()
+        if jax.default_backend() == "tpu":
+            from .fetch_pallas import fetch_enabled
+
+            fetch_enabled()
 
     # ------------------------------------------------------------ correlation
 

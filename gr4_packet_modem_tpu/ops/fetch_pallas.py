@@ -51,6 +51,7 @@ def _probe() -> bool:
 
     if jax.default_backend() != "tpu":
         return False
+    # small geometry: the 297-tap syncword refinement windows
     x = np.arange(8192, dtype=np.float32)
     starts = np.asarray([3, 517, 1023, 4099], np.int32)
     out = np.asarray(
@@ -65,7 +66,23 @@ def _probe() -> bool:
         (np.asarray(outr) == expect).all()
         and (np.asarray(outi) == -expect).all()
     )
-    return ok1 and ok2
+    # production-payload geometry: the symbol-extraction regions reach
+    # sps*(chunk-1)+arm_len ~ 24.7k samples (receiver._extract_symbols) —
+    # an order of magnitude more VMEM scratch per grid step than the small
+    # shape, so it must be probed separately (round-3 lesson: probes at
+    # non-production shapes lie)
+    rl = 24676
+    x2 = np.arange(32768, dtype=np.float32)
+    starts2 = np.asarray([5, 1023, 32768 - rl], np.int32)
+    outr2, outi2 = fetch_regions(
+        jnp.asarray(x2), jnp.asarray(-x2), jnp.asarray(starts2), rl
+    )
+    expect2 = np.stack([x2[s : s + rl] for s in starts2])
+    ok3 = bool(
+        (np.asarray(outr2) == expect2).all()
+        and (np.asarray(outi2) == -expect2).all()
+    )
+    return ok1 and ok2 and ok3
 
 
 def fetch_enabled() -> bool:

@@ -104,12 +104,19 @@ def probe_verdict(name: str, tag: str, fn) -> bool:
             return False
         try:
             verdict = bool(fn())
-        except Exception:
+        except Exception as e:
             if os.environ.get("PM_PROBE_DEBUG"):
                 import traceback
 
                 print(f"[pm_probe {name}] FAILED:", flush=True)
                 traceback.print_exc()
+            # a tracer-related failure means the probe ran under a trace
+            # the guard above failed to detect (e.g. the private
+            # trace_state_clean API moved): that is not a capability
+            # verdict — decline for this call WITHOUT caching, so a later
+            # eager call can still probe properly
+            if "Tracer" in type(e).__name__ or "Tracer" in str(e):
+                return False
             verdict = False
         try:
             with open(cache, "w") as f:

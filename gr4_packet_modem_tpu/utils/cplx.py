@@ -71,25 +71,42 @@ INT8_SCALE = 64.0
 
 def _quantize_int8_into(src: np.ndarray, dst: np.ndarray) -> None:
     """``dst[:] = clip(round(src * INT8_SCALE))`` in one thread-parallel
-    pass. Numpy ufuncs release the GIL, so chunking over a thread pool
-    scales with cores — the serial multi-pass form measured ~470 ms for a
-    64-channel 2^19 block on the streaming path (the dominant host cost)."""
+    pass. ``src`` may be a strided view (``x.real`` of complex input) —
+    the multiply reads it directly, so the de-interleave rides the same
+    pass instead of a serial ``ascontiguousarray`` copy. Numpy ufuncs
+    release the GIL, so chunking over a thread pool scales with cores —
+    the serial multi-pass form measured ~470 ms for a 64-channel 2^19
+    block on the streaming path (the dominant host cost)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    flat_src = src.reshape(-1)
-    flat_dst = dst.reshape(-1)
-    n = flat_src.size
-    workers = min(8, os.cpu_count() or 1)
-    chunk = -(-n // workers)
+    flat_src = src.reshape(-1) if src.ndim > 1 and src.flags.c_contiguous \
+        else src
+    if flat_src.ndim > 1:  # strided 2-D view: chunk over leading axis
+        rows = flat_src.shape[0]
+        dst2 = dst.reshape(rows, -1)
+        workers = min(8, os.cpu_count() or 1, rows)
+        rchunk = -(-rows // workers)
 
-    def work(i):
-        s = slice(i * chunk, min((i + 1) * chunk, n))
-        tmp = np.multiply(flat_src[s], INT8_SCALE)
-        np.rint(tmp, out=tmp)
-        np.clip(tmp, -127, 127, out=tmp)
-        flat_dst[s] = tmp  # cast on assignment
+        def work(i):
+            s = slice(i * rchunk, min((i + 1) * rchunk, rows))
+            tmp = np.multiply(flat_src[s], INT8_SCALE)
+            np.rint(tmp, out=tmp)
+            np.clip(tmp, -127, 127, out=tmp)
+            dst2[s] = tmp
+    else:
+        flat_dst = dst.reshape(-1)
+        n = flat_src.size
+        workers = min(8, os.cpu_count() or 1)
+        chunk = -(-n // workers)
 
-    if n < (1 << 20) or workers == 1:
+        def work(i):
+            s = slice(i * chunk, min((i + 1) * chunk, n))
+            tmp = np.multiply(flat_src[s], INT8_SCALE)
+            np.rint(tmp, out=tmp)
+            np.clip(tmp, -127, 127, out=tmp)
+            flat_dst[s] = tmp  # cast on assignment
+
+    if src.size < (1 << 20) or workers == 1:
         for i in range(workers):
             work(i)
         return
@@ -107,8 +124,10 @@ def to_transfer_planes(x: np.ndarray, transfer_dtype=None) -> np.ndarray:
     x = np.asarray(x)
     if transfer_dtype is not None and jnp.dtype(transfer_dtype) == jnp.int8:
         out = np.empty((2,) + x.shape, np.int8)
-        _quantize_int8_into(np.ascontiguousarray(x.real), out[0])
-        _quantize_int8_into(np.ascontiguousarray(x.imag), out[1])
+        # strided .real/.imag views feed the quantizer directly: the
+        # de-interleave happens inside its thread-parallel pass
+        _quantize_int8_into(x.real, out[0])
+        _quantize_int8_into(x.imag, out[1])
         return out
     re, im = np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)
     if transfer_dtype is not None:
