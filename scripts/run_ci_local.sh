@@ -32,7 +32,10 @@ python -m pytest tests/ -q || fail=1
 echo "== wheel build + smoke import =="
 if python -c "import build" >/dev/null 2>&1; then
     rm -rf dist/
-    python -m build --wheel || fail=1
+    # --no-isolation: the isolated build env needs network to fetch
+    # setuptools; the host env already has it (offline-friendly, same
+    # wheel content as the CI job's isolated build)
+    python -m build --wheel --no-isolation || fail=1
     # same smoke command as the wheel job (run against the source tree when
     # installing the wheel isn't possible without network access)
     python -c "import gr4_packet_modem_tpu; from gr4_packet_modem_tpu.registry import BLOCK_REGISTRY; print(len(BLOCK_REGISTRY), 'blocks')" || fail=1
