@@ -106,6 +106,22 @@ def main():
     sigma = esn0_db_to_noise_sigma(args.esn0, sig_power)
     key = jax.random.PRNGKey(int(time.time()))
 
+    # channel impairments shared by the main loop and the stream-mode tail
+    # flush: the CFO rotator phase is continuous across chunks (rotate's n0
+    # carries the absolute sample index), so the final in-flight packet sees
+    # no phase discontinuity at the flush boundary
+    chan_state = {"key": key, "n_abs": 0}
+
+    def through_channel(sig):
+        x = jnp.asarray(sig)
+        if args.sfo:
+            x = sfo(x, args.sfo)
+        if args.cfo:
+            x = rotate(x, args.cfo, n0=chan_state["n_abs"])
+        chan_state["n_abs"] += int(x.shape[0])
+        chan_state["key"], sub = jax.random.split(chan_state["key"])
+        return awgn(sub, x, sigma)
+
     deadline = time.time() + args.seconds
     sent = received = 0
     seq = 0
@@ -137,13 +153,7 @@ def main():
             else tx.send_burst(payloads, types)
         )
         # ---- channel
-        x = jnp.asarray(sig)
-        if args.sfo:
-            x = sfo(x, args.sfo)
-        if args.cfo:
-            x = rotate(x, args.cfo)
-        key, sub = jax.random.split(key)
-        x = awgn(sub, x, sigma)
+        x = through_channel(sig)
         throttle.wait(x.shape[0])
         # ---- RX
         from gr4_packet_modem_tpu.utils.cplx import to_host
@@ -161,9 +171,14 @@ def main():
             )
     if args.stream:
         # flush the TX interpolator history through the receiver so the
-        # final in-flight packet's tail samples are not lost
+        # final in-flight packet's tail samples are not lost; the tail goes
+        # through the SAME channel (continuous CFO phase) as the main loop —
+        # it belongs to the final packet's waveform
         tail = tx.flush_stream()
         if tail.size:
+            from gr4_packet_modem_tpu.utils.cplx import to_host as _th
+
+            tail = _th(through_channel(tail))
             for pkt in rx.process(tail):
                 received += 1
                 credit.release()

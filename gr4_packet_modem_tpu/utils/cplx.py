@@ -79,12 +79,16 @@ def _quantize_int8_into(src: np.ndarray, dst: np.ndarray) -> None:
     block on the streaming path (the dominant host cost)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if src.size == 0:
+        return
     flat_src = src.reshape(-1) if src.ndim > 1 and src.flags.c_contiguous \
         else src
-    if flat_src.ndim > 1:  # strided 2-D view: chunk over leading axis
+    if flat_src.ndim > 1:  # strided view: chunk over leading axis
         rows = flat_src.shape[0]
-        dst2 = dst.reshape(rows, -1)
-        workers = min(8, os.cpu_count() or 1, rows)
+        # match dst's view to the source's full shape so chunk assignment is
+        # shape-exact for any ndim (a 2-D dst view would reject >2-D chunks)
+        dst2 = dst.reshape(flat_src.shape)
+        workers = max(1, min(8, os.cpu_count() or 1, rows))
         rchunk = -(-rows // workers)
 
         def work(i):

@@ -35,6 +35,24 @@ def fake_tpu(monkeypatch, tmp_path):
     pallas_probe._MEMO.clear()
 
 
+def test_tracing_active_detects_jit_trace():
+    """The primary trace guard rides the private jax._src.core
+    trace_state_clean API; if a JAX upgrade moves it, the guard silently
+    degrades to the string-match exception heuristic — fail loudly here
+    instead (advisor round 4)."""
+    assert pallas_probe._tracing_active() is False
+
+    seen = []
+
+    @jax.jit
+    def traced(x):
+        seen.append(pallas_probe._tracing_active())
+        return x
+
+    traced(jnp.float32(0.0))
+    assert seen == [True]
+
+
 def test_probe_runs_eagerly_and_caches(fake_tpu):
     calls = []
 
