@@ -37,6 +37,8 @@ __all__ = [
     "StreamingTransmitter",
     "PacketToStream",
     "DecodedPacket",
+    "pack_result_wire",
+    "unpack_result_wire",
 ]
 
 
@@ -47,6 +49,139 @@ class DecodedPacket:
     packet_type: int
     esn0_db: float
     channel: int = 0      # bank channel (StreamingBank)
+    freq: float = 0.0     # carrier frequency estimate (rad/sample)
+    arm: int = 0          # polyphase matched-filter arm (symbol timing)
+
+
+def pack_result_wire(
+    idx, lens, types, esn0, freq, arm, chan, accepted, data,
+    det_overflow, budget: int | None,
+):
+    """Pack per-row decode results into ONE flat u8 array for the d2h wire
+    (each d2h transfer through the dev tunnel pays a large fixed latency, so
+    the host pulls a single byte buffer per block).
+
+    With ``budget`` set, rows are COMPACTED on device to the first ``budget``
+    accepted rows (stable row order, so per-channel index order is kept)
+    before the transfer — the reference only ever ships decoded packets
+    (tun_sink.hpp:33-37), while an uncompacted wire ships
+    ``rows x max_payload_len`` bytes of mostly-unused slots (the dominant
+    serving d2h cost at bank widths, round-4 verdict item 2). ``accepted``
+    beyond the budget is flagged (second flag slot) rather than silently
+    dropped.
+
+    Wire layout: 9 f32 metadata rows per slot (index, length, type, esn0,
+    freq, arm, channel, accepted, source-row), 2 f32 flags (detection
+    overflow, budget overflow), then the payload byte matrix.
+    """
+    rows = idx.shape[0]
+    k = rows if budget is None else min(int(budget), rows)
+    row_ids = jnp.arange(rows, dtype=jnp.int32)
+    n_acc = jnp.sum(accepted.astype(jnp.int32))
+    budget_ovf = n_acc > k
+    if k < rows:
+        # stable argsort: accepted rows first, original order preserved
+        order = jnp.argsort(~accepted, stable=True)
+        sel = order[:k]
+        take = lambda a: jnp.take(a, sel, axis=0)  # noqa: E731
+        idx, lens, types, esn0, freq, arm, chan, accepted, data, row_ids = (
+            take(a)
+            for a in (idx, lens, types, esn0, freq, arm, chan, accepted,
+                      data, row_ids)
+        )
+    f32 = jnp.float32
+    meta = jnp.concatenate([
+        idx.astype(f32), lens.astype(f32), types.astype(f32),
+        esn0.astype(f32), freq.astype(f32), arm.astype(f32),
+        chan.astype(f32), accepted.astype(f32), row_ids.astype(f32),
+        det_overflow.astype(f32)[None], budget_ovf.astype(f32)[None],
+    ])
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
+    return jnp.concatenate([meta_u8, data.reshape(-1)])
+
+
+_WIRE_META_FIELDS = 9
+
+
+def wire_slots(rows: int, budget: int | None) -> int:
+    """Number of result slots on the wire for ``rows`` decode rows."""
+    return rows if budget is None else min(int(budget), rows)
+
+
+def wire_bytes(rows: int, budget: int | None, max_len: int) -> int:
+    k = wire_slots(rows, budget)
+    return 4 * (_WIRE_META_FIELDS * k + 2) + k * max_len
+
+
+def unpack_result_wire(packed: np.ndarray, k: int, max_len: int):
+    """Host-side inverse of :func:`pack_result_wire`.
+
+    Returns ``(slots, det_overflow, budget_overflow)`` where ``slots`` is a
+    dict of per-slot arrays (``index/length/type/esn0/freq/arm/channel/
+    accepted/row/data``)."""
+    meta_bytes = 4 * (_WIRE_META_FIELDS * k + 2)
+    meta = packed[:meta_bytes].view(np.float32)
+    data = packed[meta_bytes:].reshape(k, max_len)
+    f = lambda i: meta[i * k : (i + 1) * k]  # noqa: E731
+    slots = {
+        "index": f(0).astype(np.int64),
+        "length": f(1).astype(np.int64),
+        "type": f(2).astype(np.int64),
+        "esn0": f(3),
+        "freq": f(4),
+        "arm": f(5).astype(np.int64),
+        "channel": f(6).astype(np.int64),
+        "accepted": f(7) > 0.5,
+        "row": f(8).astype(np.int64),
+        "data": data,
+    }
+    flags = meta[_WIRE_META_FIELDS * k :]
+    return slots, flags[0] > 0.5, flags[1] > 0.5
+
+
+def _flag_overflows(driver, det_ovf: bool, budget_ovf: bool) -> None:
+    """Count + warn-once for the two per-block saturation flags."""
+    import warnings
+
+    if det_ovf:
+        driver.overflow_blocks += 1
+        if driver.overflow_blocks == 1:
+            warnings.warn(
+                "acquisition candidate cap saturated (max_detections = "
+                f"{driver.rx.config.max_detections}); packets may be "
+                "dropped — raise RxConfig.max_detections",
+                RuntimeWarning,
+                stacklevel=4,
+            )
+    if budget_ovf:
+        driver.budget_overflow_blocks += 1
+        if driver.budget_overflow_blocks == 1:
+            warnings.warn(
+                "result-wire budget saturated (result_budget = "
+                f"{driver.result_budget}); packets were dropped from the "
+                "d2h wire — raise result_budget",
+                RuntimeWarning,
+                stacklevel=4,
+            )
+
+
+_rx_logger = None
+
+
+def _log_packet(p: DecodedPacket) -> None:
+    """Per-packet RX debug line (PayloadMetadataInsert{log:true} /
+    header_debug, payload_metadata_insert.hpp:66,
+    packet_receiver.hpp:151-157)."""
+    global _rx_logger
+    if _rx_logger is None:
+        import logging
+
+        _rx_logger = logging.getLogger("gr4_packet_modem_tpu.rx")
+    _rx_logger.info(
+        "packet ch=%d index=%d len=%d type=%d esn0=%.1fdB freq=%+.5f arm=%d",
+        p.channel, p.index, len(p.data), p.packet_type, p.esn0_db, p.freq,
+        p.arm,
+    )
 
 
 class StreamingReceiver:
@@ -66,12 +201,22 @@ class StreamingReceiver:
         payload_tap=None,
         transfer_dtype=None,
         pipeline_depth: int = 2,
+        result_budget: int | None = None,
+        log: bool = False,
     ):
         import dataclasses
 
         # optional reduced-precision h2d (see utils.cplx.to_device): halves
         # (bf16) or quarters (int8) the wire size on h2d-bound links
         self.transfer_dtype = transfer_dtype
+        # d2h compaction: ship only `result_budget` accepted-first result
+        # rows per block instead of all max_detections slots (see
+        # pack_result_wire); overflow beyond the budget is flagged
+        self.result_budget = result_budget
+        # per-packet RX debug log, mirroring the reference's
+        # PayloadMetadataInsert{log:true} + header_debug tap
+        # (payload_metadata_insert.hpp:66, packet_receiver.hpp:151-157)
+        self.log = log
         # blocks in flight before results are materialized: depth >= 2 hides
         # the d2h materialization latency of block N behind the h2d + compute
         # of blocks N+1..N+depth (the reference overlaps the same way via
@@ -109,6 +254,7 @@ class StreamingReceiver:
         self._busy_dev = jnp.int32(-(1 << 30))
         self._pending = np.zeros(0, np.complex64)
         self.overflow_blocks = 0  # blocks whose acquisition saturated
+        self.budget_overflow_blocks = 0  # blocks whose result wire saturated
         # pipelined execution: results of block N are materialized on the
         # host while blocks N+1..N+depth compute (SURVEY §7 hard-part 5)
         self._inflight: list = []
@@ -167,21 +313,11 @@ class StreamingReceiver:
             # busy state pre-shifted into the next block's local coordinates
             block = jnp.int32(self.block)
             busy_next = jnp.maximum(busy_end - block, -(1 << 30))
-            # pack metadata AND payload bytes into ONE 1-D u8 array: each
-            # d2h transfer through the tunnel pays ~9+ ms of latency, so the
-            # host pulls a single flat byte buffer per block (f32 metadata
-            # bitcast to bytes, then the payload byte matrix)
-            f32 = jnp.float32
-            meta = jnp.concatenate([
-                det.index.astype(f32),
-                res.lengths.astype(f32),
-                hdr.packet_type.astype(f32),
-                det.esn0_db.astype(f32),
-                res.accepted.astype(f32),
-                det.overflow.astype(f32)[None],
-            ])
-            meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
-            packed = jnp.concatenate([meta_u8, res.data.reshape(-1)])
+            packed = pack_result_wire(
+                det.index, res.lengths, hdr.packet_type, det.esn0_db,
+                det.freq, hdr.arm, jnp.zeros_like(det.index), res.accepted,
+                res.data, det.overflow, self.result_budget,
+            )
             if self._with_syms:
                 return buf, packed, busy_next, hdr_syms, res.symbols
             return buf, packed, busy_next
@@ -261,30 +397,13 @@ class StreamingReceiver:
 
     def _materialize(self, inflight) -> list[DecodedPacket]:
         outs, abs_offset = inflight
-        packed_dev = outs[1]
-        d = self.rx.config.max_detections
-        max_len = self.rx.config.max_payload_len
-        packed = np.asarray(packed_dev)  # ONE d2h for metadata AND payloads
-        meta_bytes = 4 * (5 * d + 1)
-        meta = packed[:meta_bytes].view(np.float32)
-        data = packed[meta_bytes:].reshape(d, max_len)
-        idxs = meta[0 * d : 1 * d].astype(np.int64)
-        lens = meta[1 * d : 2 * d].astype(np.int64)
-        types = meta[2 * d : 3 * d].astype(np.int64)
-        esn0 = meta[3 * d : 4 * d]
-        accepted = meta[4 * d : 5 * d] > 0.5
-        if meta[5 * d] > 0.5:  # acquisition overflow flag
-            self.overflow_blocks += 1
-            if self.overflow_blocks == 1:
-                import warnings
-
-                warnings.warn(
-                    "acquisition candidate cap saturated (max_detections "
-                    f"= {self.rx.config.max_detections}); packets may be "
-                    "dropped — raise RxConfig.max_detections",
-                    RuntimeWarning,
-                    stacklevel=3,
-                )
+        k = wire_slots(self.rx.config.max_detections, self.result_budget)
+        packed = np.asarray(outs[1])  # ONE d2h for metadata AND payloads
+        slots, det_ovf, budget_ovf = unpack_result_wire(
+            packed, k, self.rx.config.max_payload_len
+        )
+        _flag_overflows(self, det_ovf, budget_ovf)
+        accepted = slots["accepted"]
         out = []
         if accepted.any():
             if self.header_tap is not None:
@@ -292,24 +411,30 @@ class StreamingReceiver:
             if self.payload_tap is not None:
                 ps = np.asarray(outs[4])  # [D, S, 2]
             for i in np.nonzero(accepted)[0]:
+                n = int(slots["length"][i])
                 out.append(
                     DecodedPacket(
-                        data=data[i, : lens[i]].copy(),
-                        index=int(idxs[i]) + abs_offset,
-                        packet_type=int(types[i]),
-                        esn0_db=float(esn0[i]),
+                        data=slots["data"][i, :n].copy(),
+                        index=int(slots["index"][i]) + abs_offset,
+                        packet_type=int(slots["type"][i]),
+                        esn0_db=float(slots["esn0"][i]),
+                        freq=float(slots["freq"][i]),
+                        arm=int(slots["arm"][i]),
                     )
                 )
+                if self.log:
+                    _log_packet(out[-1])
+                r = int(slots["row"][i])  # pre-compaction decode row
                 if self.header_tap is not None:
                     # the 128 header symbols after the syncword, as in the
                     # reference's post-SyncwordRemove header tap (port 5000)
-                    h = hs[i, C.SYNCWORD_LEN :]
+                    h = hs[r, C.SYNCWORD_LEN :]
                     self.header_tap.send(
                         (h[:, 0] + 1j * h[:, 1]).astype(np.complex64)
                     )
                 if self.payload_tap is not None:
-                    n_syms = 4 * (int(lens[i]) + C.CRC_NUM_BYTES)
-                    p = ps[i, :n_syms]
+                    n_syms = 4 * (n + C.CRC_NUM_BYTES)
+                    p = ps[r, :n_syms]
                     self.payload_tap.send(
                         (p[:, 0] + 1j * p[:, 1]).astype(np.complex64)
                     )
@@ -341,9 +466,13 @@ class StreamingBank:
         transfer_dtype=None,
         pipeline_depth: int = 2,
         group: int = 16,
+        result_budget: int | None = None,
+        log: bool = False,
     ):
         self.transfer_dtype = transfer_dtype
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.result_budget = result_budget
+        self.log = log
         self.rx = Receiver(config)
         self.channels = int(channels)
         self.block = block
@@ -367,6 +496,7 @@ class StreamingBank:
         self._busy_dev = jnp.full((c,), -(1 << 30), jnp.int32)
         self._pending = np.zeros((c, 0), np.complex64)
         self.overflow_blocks = 0
+        self.budget_overflow_blocks = 0
         self._inflight: list = []
         self.stats = {"h2d_s": 0.0, "dispatch_s": 0.0, "materialize_s": 0.0,
                       "blocks": 0}
@@ -406,7 +536,8 @@ class StreamingBank:
             res = rx.decode_payloads(g_buf, detf, hdr, keep, chan)
             return (
                 detf.index, res.lengths, hdr.packet_type, detf.esn0_db,
-                res.accepted, res.data, jnp.any(det.overflow), busy_end,
+                detf.freq, hdr.arm, res.accepted, res.data,
+                jnp.any(det.overflow), busy_end,
             )
 
         def step(buf, chunk_planes, busy0):
@@ -422,31 +553,27 @@ class StreamingBank:
                         busy0.reshape(ng, self.group),
                     ),
                 )
-                idx, lens, types, esn0, acc, data, ovf, busy_end = outs
+                (idx, lens, types, esn0, freq, arm, acc, data, ovf,
+                 busy_end) = outs
                 flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
-                idx, lens, types, esn0, acc, data, busy_end = (
-                    flat(o) for o in (idx, lens, types, esn0, acc, data,
-                                      busy_end)
+                idx, lens, types, esn0, freq, arm, acc, data, busy_end = (
+                    flat(o) for o in (idx, lens, types, esn0, freq, arm,
+                                      acc, data, busy_end)
                 )
                 overflow = jnp.any(ovf)
             else:
-                (idx, lens, types, esn0, acc, data, overflow, busy_end) = (
-                    decode_group((buf, busy0))
-                )
+                (idx, lens, types, esn0, freq, arm, acc, data, overflow,
+                 busy_end) = decode_group((buf, busy0))
             busy_next = jnp.maximum(
                 busy_end.reshape(-1) - jnp.int32(self.block), -(1 << 30)
             )
-            f32 = jnp.float32
-            meta = jnp.concatenate([
-                idx.astype(f32),
-                lens.astype(f32),
-                types.astype(f32),
-                esn0.astype(f32),
-                acc.astype(f32),
-                overflow.astype(f32)[None],
-            ])
-            meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
-            packed = jnp.concatenate([meta_u8, data.reshape(-1)])
+            chan_row = jnp.arange(idx.shape[0], dtype=jnp.int32) // jnp.int32(
+                dd
+            )
+            packed = pack_result_wire(
+                idx, lens, types, esn0, freq, arm, chan_row, acc, data,
+                overflow, self.result_budget,
+            )
             return buf, packed, busy_next
 
         return step
@@ -467,12 +594,17 @@ class StreamingBank:
             chunk = self._pending[:, : self.block]
             self._pending = self._pending[:, self.block :]
             t0 = time.perf_counter()
-            planes = jnp.asarray(
+            planes = self._to_device_planes(
                 to_transfer_planes(chunk, self.transfer_dtype)
             )
             self.stats["h2d_s"] += time.perf_counter() - t0
             out.extend(self._process_block(planes))
         return out
+
+    def _to_device_planes(self, planes_np: np.ndarray) -> jax.Array:
+        """Upload one block's wire planes (overridden by the sharded driver
+        to device_put with a (ch, time) sharding)."""
+        return jnp.asarray(planes_np)
 
     def flush(self) -> list[DecodedPacket]:
         """Drain: pad the tail to a block, push the lookahead through the
@@ -524,40 +656,28 @@ class StreamingBank:
     def _materialize(self, inflight) -> list[DecodedPacket]:
         outs, abs_offset = inflight
         rows = self.channels * self.rx.config.max_detections
-        max_len = self.rx.config.max_payload_len
+        k = wire_slots(rows, self.result_budget)
         packed = np.asarray(outs[1])
-        meta_bytes = 4 * (5 * rows + 1)
-        meta = packed[:meta_bytes].view(np.float32)
-        data = packed[meta_bytes:].reshape(rows, max_len)
-        idxs = meta[0 * rows : 1 * rows].astype(np.int64)
-        lens = meta[1 * rows : 2 * rows].astype(np.int64)
-        types = meta[2 * rows : 3 * rows].astype(np.int64)
-        esn0 = meta[3 * rows : 4 * rows]
-        accepted = meta[4 * rows : 5 * rows] > 0.5
-        if meta[5 * rows] > 0.5:
-            self.overflow_blocks += 1
-            if self.overflow_blocks == 1:
-                import warnings
-
-                warnings.warn(
-                    "acquisition candidate cap saturated (max_detections "
-                    f"= {self.rx.config.max_detections}); packets may be "
-                    "dropped — raise RxConfig.max_detections",
-                    RuntimeWarning,
-                    stacklevel=3,
-                )
-        dd = self.rx.config.max_detections
+        slots, det_ovf, budget_ovf = unpack_result_wire(
+            packed, k, self.rx.config.max_payload_len
+        )
+        _flag_overflows(self, det_ovf, budget_ovf)
         out = []
-        for i in np.nonzero(accepted)[0]:
+        for i in np.nonzero(slots["accepted"])[0]:
+            n = int(slots["length"][i])
             out.append(
                 DecodedPacket(
-                    data=data[i, : lens[i]].copy(),
-                    index=int(idxs[i]) + abs_offset,
-                    packet_type=int(types[i]),
-                    esn0_db=float(esn0[i]),
-                    channel=int(i // dd),
+                    data=slots["data"][i, :n].copy(),
+                    index=int(slots["index"][i]) + abs_offset,
+                    packet_type=int(slots["type"][i]),
+                    esn0_db=float(slots["esn0"][i]),
+                    channel=int(slots["channel"][i]),
+                    freq=float(slots["freq"][i]),
+                    arm=int(slots["arm"][i]),
                 )
             )
+            if self.log:
+                _log_packet(out[-1])
         return out
 
 

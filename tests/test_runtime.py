@@ -152,6 +152,64 @@ class TestStreaming:
         for g, p in zip(got, payloads):
             np.testing.assert_array_equal(g.data, p)
 
+    def test_result_budget_compaction_parity(self):
+        """A compacted result wire (budget >= accepted packets) must yield
+        the exact packet set of the uncompacted wire, including the
+        per-packet freq/arm/esn0 metadata; a budget SMALLER than the block's
+        accepted count drops the excess and flags budget_overflow_blocks."""
+        tx = StreamingTransmitter(Transmitter(TxConfig(max_payload_len=128)))
+        payloads = [
+            (np.arange(n) % 256).astype(np.uint8) for n in [60, 90, 128, 33]
+        ]
+        sig = tx.send_burst(payloads)
+        x = np.asarray(
+            awgn(jax.random.PRNGKey(3), rotate(jnp.asarray(sig), 0.004), 0.03)
+        )
+        cfg = RxConfig(max_payload_len=128, max_detections=8)
+        results = {}
+        for budget in (None, 6):
+            rx = StreamingReceiver(cfg, block=4096, result_budget=budget)
+            pkts = rx.process(x) + rx.flush()
+            assert rx.budget_overflow_blocks == 0
+            results[budget] = sorted(
+                (p.index, p.data.tobytes(), round(p.esn0_db, 3),
+                 round(p.freq, 6), p.arm)
+                for p in pkts
+            )
+        assert len(results[None]) == len(payloads)
+        assert results[None] == results[6]
+
+        # budget of 1: each block ships at most one packet; with 4 packets
+        # in ~2 blocks some are dropped from the wire and flagged
+        import warnings as _w
+
+        rx = StreamingReceiver(cfg, block=4096, result_budget=1)
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            pkts = rx.process(x) + rx.flush()
+        assert rx.budget_overflow_blocks >= 1
+        assert 0 < len(pkts) < len(payloads)
+
+    def test_per_packet_log(self, caplog):
+        """log=True emits one line per accepted packet with the reference's
+        debug fields (payload_metadata_insert.hpp:66)."""
+        import logging
+
+        tx = StreamingTransmitter(Transmitter(TxConfig(max_payload_len=128)))
+        sig = tx.send_burst([(np.arange(70) % 256).astype(np.uint8)])
+        rx = StreamingReceiver(
+            RxConfig(max_payload_len=128, max_detections=4),
+            block=4096,
+            log=True,
+        )
+        with caplog.at_level(logging.INFO, logger="gr4_packet_modem_tpu.rx"):
+            pkts = rx.process(np.asarray(sig)) + rx.flush()
+        assert len(pkts) == 1
+        lines = [r.message for r in caplog.records]
+        assert len(lines) == 1
+        assert "len=70" in lines[0] and "esn0=" in lines[0] \
+            and "arm=" in lines[0]
+
     def test_int8_transfer_parity(self):
         """int8 fixed-point transfer planes (utils/cplx.py INT8_SCALE) must
         decode byte-exact at the operating Es/N0 — the wire format used by
