@@ -121,6 +121,19 @@ def main():
     dt = time.time() - t0
     sps = channels * block * iters / dt
 
+    # result-wire compaction budget (accepted-first rows shipped per block,
+    # see runtime.streaming.pack_result_wire): per-channel packets per block
+    # + headroom; BENCH_BUDGET=0 disables compaction, an integer overrides
+    # the per-channel budget
+    pkts_block = -(-block * len(payloads) // stream.size)
+    bud_env = os.environ.get("BENCH_BUDGET", "auto")
+    if bud_env == "0":
+        budget_per_ch = None
+    elif bud_env == "auto":
+        budget_per_ch = min(max_det, pkts_block + 4)
+    else:
+        budget_per_ch = int(bud_env)
+
     # sustained end-to-end single-stream rate through the pipelined
     # StreamingReceiver host driver (h2d upload + step + deferred host
     # materialization per block), vs the resident-buffer jit loop above.
@@ -150,6 +163,7 @@ def main():
             ),
             block=block,
             transfer_dtype=transfer_dtype,
+            result_budget=budget_per_ch,
         )
         # feed WHOLE bursts only (tiled complete 12-burst patterns): bursts
         # straddle the driver's internal block boundaries naturally, and no
@@ -174,12 +188,17 @@ def main():
         stats1 = dict(srx.stats)
         n_pkts += len(srx.flush())  # decode the final blocks' lookahead
         expected = pkts_per_unit * (1 + s_iters)
-        parity_ok = n_pkts == expected and srx.overflow_blocks == 0
+        parity_ok = (
+            n_pkts == expected
+            and srx.overflow_blocks == 0
+            and srx.budget_overflow_blocks == 0
+        )
         sustained = blocks_timed * block / dt_s if parity_ok else 0.0
         nb = max(blocks_timed, 1)
         per_block = lambda k: round(1e3 * (stats1[k] - stats0[k]) / nb, 2)
         sustained_info = {
             "sustained_xfer": xfer,
+            "sustained_budget": budget_per_ch,
             "sustained_parity_ok": parity_ok,
             "sustained_expected_pkts": expected,
             "sustained_decoded_pkts": n_pkts,
@@ -219,6 +238,8 @@ def main():
             block=block,
             transfer_dtype=transfer_dtype,
             group=bank_group,
+            result_budget=None if budget_per_ch is None
+            else budget_per_ch * bank_ch,
         )
         sig_unit = np.ascontiguousarray(
             np.tile(stream, max(1, -(-block // stream.size)))
@@ -240,7 +261,11 @@ def main():
         stats1 = dict(bank.stats)
         n_pkts += len(bank.flush())
         expected = pkts_per_unit * bank_ch * (1 + b_iters)
-        parity_ok = n_pkts == expected and bank.overflow_blocks == 0
+        parity_ok = (
+            n_pkts == expected
+            and bank.overflow_blocks == 0
+            and bank.budget_overflow_blocks == 0
+        )
         bank_sustained = (
             blocks_timed * block * bank_ch / dt_b if parity_ok else 0.0
         )
@@ -248,12 +273,87 @@ def main():
         per_block = lambda k: round(1e3 * (stats1[k] - stats0[k]) / nb, 2)
         bank_info = {
             "bank_channels": bank_ch,
+            "bank_budget": bank.result_budget,
             "bank_sustained_parity_ok": parity_ok,
             "bank_sustained_expected_pkts": expected,
             "bank_sustained_decoded_pkts": n_pkts,
             "bank_h2d_ms_per_block": per_block("h2d_s"),
             "bank_dispatch_ms_per_block": per_block("dispatch_s"),
             "bank_materialize_ms_per_block": per_block("materialize_s"),
+        }
+
+    # sustained serving through the SHARDED host-fed driver (round-4 verdict
+    # item 1): StreamingShardedBank on a (ch, time) mesh over all available
+    # devices (the dev tunnel exposes ONE chip, so this runs the degenerate
+    # 1x1 mesh — the 8-device sharding semantics are validated by
+    # dryrun_multichip / tests on the virtual CPU mesh). Same parity gate.
+    sharded_sustained = 0.0
+    sharded_info = {}
+    if os.environ.get("BENCH_SHARDED", "1") == "1":
+        from gr4_packet_modem_tpu.parallel.bank import make_mesh
+        from gr4_packet_modem_tpu.parallel.serving import StreamingShardedBank
+
+        bank_ch = int(os.environ.get("BENCH_BANK_CHANNELS", "8"))
+        xfer = os.environ.get("BENCH_XFER", "int8")
+        transfer_dtype = {
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+        }[xfer]
+        mesh = make_mesh(len(jax.devices()))
+        sbank = StreamingShardedBank(
+            mesh,
+            RxConfig(
+                max_payload_len=1536,
+                max_detections=max_det,
+                freq_bins=4,
+                payload_carrier=carrier,
+                acquisition_backend=acq_backend,
+            ),
+            channels=bank_ch,
+            block=block,
+            transfer_dtype=transfer_dtype,
+            group=16 if bank_ch > 16 and bank_ch % 16 == 0 else 0,
+            result_budget=None if budget_per_ch is None
+            else budget_per_ch * (bank_ch // mesh.devices.shape[0]),
+        )
+        sig_unit = np.ascontiguousarray(
+            np.tile(stream, max(1, -(-block // stream.size)))
+        )
+        pkts_per_unit = len(payloads) * (sig_unit.size // stream.size)
+        x_unit = np.stack(
+            [sig_unit * np.exp(1j * 0.1 * c) for c in range(bank_ch)]
+        ).astype(np.complex64)
+        n_pkts = len(sbank.process(x_unit))  # warm-up/compile
+        b_iters = max(iters // 4, 3)
+        blocks0 = sbank.stats["blocks"]
+        stats0 = dict(sbank.stats)
+        t0 = time.time()
+        for _ in range(b_iters):
+            n_pkts += len(sbank.process(x_unit))
+        n_pkts += len(sbank._drain())
+        dt_b = time.time() - t0
+        blocks_timed = sbank.stats["blocks"] - blocks0
+        stats1 = dict(sbank.stats)
+        n_pkts += len(sbank.flush())
+        expected = pkts_per_unit * bank_ch * (1 + b_iters)
+        parity_ok = (
+            n_pkts == expected
+            and sbank.overflow_blocks == 0
+            and sbank.budget_overflow_blocks == 0
+        )
+        sharded_sustained = (
+            blocks_timed * block * bank_ch / dt_b if parity_ok else 0.0
+        )
+        nb = max(blocks_timed, 1)
+        per_block = lambda k: round(1e3 * (stats1[k] - stats0[k]) / nb, 2)
+        sharded_info = {
+            "sharded_mesh": list(mesh.devices.shape),
+            "sharded_budget": sbank.result_budget,
+            "sharded_parity_ok": parity_ok,
+            "sharded_expected_pkts": expected,
+            "sharded_decoded_pkts": n_pkts,
+            "sharded_h2d_ms_per_block": per_block("h2d_s"),
+            "sharded_dispatch_ms_per_block": per_block("dispatch_s"),
+            "sharded_materialize_ms_per_block": per_block("materialize_s"),
         }
 
     result = {
@@ -267,12 +367,14 @@ def main():
         "acq_backend": acq_backend,
         "sustained_stream_sps": float(f"{sustained:.4g}"),
         "bank_sustained_sps": float(f"{bank_sustained:.4g}"),
+        "sharded_bank_sustained_sps": float(f"{sharded_sustained:.4g}"),
         "max_detections": max_det,
         "decoded_packet_frac": round(decoded_frac, 4),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         **sustained_info,
         **bank_info,
+        **sharded_info,
     }
     print(json.dumps(result))
 

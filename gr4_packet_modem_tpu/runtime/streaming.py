@@ -165,6 +165,17 @@ def _flag_overflows(driver, det_ovf: bool, budget_ovf: bool) -> None:
             )
 
 
+def _start_d2h(driver, packed) -> None:
+    """Kick off the result wire's d2h as soon as the step is dispatched so
+    the transfer overlaps the next blocks' compute instead of serializing
+    into materialize (best-effort; not all backends support async copy)."""
+    if getattr(driver, "_async_d2h", True):
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            driver._async_d2h = False
+
+
 _rx_logger = None
 
 
@@ -376,6 +387,7 @@ class StreamingReceiver:
         self._buf = outs[0]
         self._busy_dev = outs[2]
         self._inflight.append((outs, self._abs_offset))
+        _start_d2h(self, outs[1])
         self.stats["dispatch_s"] += time.perf_counter() - t0
         self.stats["blocks"] += 1
         out: list[DecodedPacket] = []
@@ -634,6 +646,7 @@ class StreamingBank:
         self._buf = outs[0]
         self._busy_dev = outs[2]
         self._inflight.append((outs, self._abs_offset))
+        _start_d2h(self, outs[1])
         self.stats["dispatch_s"] += time.perf_counter() - t0
         self.stats["blocks"] += 1
         out: list[DecodedPacket] = []

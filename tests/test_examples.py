@@ -26,6 +26,7 @@ FAST_EXAMPLES = [
     "qpsk_modulator.py",
     "receiver_bank_serving.py",
     "sharded_bank.py",  # needs the 8-device flag the conftest already set
+    "sharded_serving.py",
     "syncword_detection.py",
 ]
 
