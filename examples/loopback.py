@@ -6,6 +6,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from gr4_packet_modem_tpu.utils.platform import setup as _pm_setup
+
+_pm_setup()  # PM_PLATFORM backend override + persistent compile cache
+
 import jax
 import numpy as np
 

@@ -196,6 +196,8 @@ class SyncwordAcquirer:
             from .fetch_pallas import fetch_enabled
 
             fetch_enabled()
+            if config.resolved_backend().startswith("fused"):
+                self._fused_wide()  # warm the wide-layout probe eagerly
 
     # ------------------------------------------------------------ correlation
 
@@ -273,6 +275,24 @@ class SyncwordAcquirer:
         corr = jnp.fft.ifft(prod, axis=-1)[..., :s]  # [F, nb, S] linear part
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
 
+    def _fused_wide(self) -> bool:
+        """Wide-layout kernel selection (acquire_pallas module docstring):
+        ``PM_ACQ_WIDE=0/1`` forces; on TPU the wide variant requires its own
+        compile+validate probe (falling back to the narrow layout);
+        off-TPU (interpret mode, tests) the wide production path runs."""
+        import os
+
+        env = os.environ.get("PM_ACQ_WIDE")
+        if env is not None:
+            return env == "1"
+        if jax.default_backend() != "tpu":
+            return True
+        from .acquire_pallas import fused_enabled
+
+        return fused_enabled(
+            self.config.fft_size, self.sync_len, self.num_bins, wide=True
+        )
+
     def _best_power_fused(
         self, x: jax.Array, bf16: bool = False
     ) -> tuple[jax.Array, jax.Array]:
@@ -292,6 +312,7 @@ class SyncwordAcquirer:
             interpret=jax.default_backend() != "tpu",
             block_frames=bf,
             bf16=bf16,
+            wide=self._fused_wide(),
         )
         return bp[:f, :s].reshape(-1), bb[:f, :s].reshape(-1)
 

@@ -36,6 +36,22 @@ only has to get detection decisions and interpolation ratios right. (On
 TPU the MXU multiplies f32 matmul inputs at bf16 by default — the
 ``bf16`` flag only makes that explicit — and its casts apply in interpret
 mode too, so the fused_bf16 CPU test loosens its tolerances.)
+
+**Wide layout (round 5).** Counting MXU passes of the layout above shows
+the small radix-16 dots dominate: a ``[16,16] @ [16, BF*N2]`` dot issues
+one (padded) 128-wide pass per 128-lane output tile with only 16 of 128
+sublanes and 16 of 128 K-steps used, so the forward small DFT costs 64
+passes/frame-block and the 9 per-bin inverse small DFTs cost 576 — 89% of
+all passes are padding against the bulk DFTs' 8. The ``wide=True`` kernel
+removes the padding by folding 8 frames into the sublane axis: rows become
+``(group, k1)`` with ``frame = group * BF/8 + f'``, the radix-16 factors
+become exact block-diagonal ``kron(I_8, W)`` [128,128] tables, twiddle and
+replica tables tile over the 8 groups, and the bulk N2 contractions are
+row-order-agnostic so they run unchanged. Every matmul is then a
+full-width [128,...] @ [128-deep] pass (~168 passes/frame-block instead of
+~720) and the layout shuffles stay two per block (one at entry, one at
+emit), exactly as before. Numerically identical factorization — the
+block-diagonal zeros contribute nothing.
 """
 
 from __future__ import annotations
@@ -86,6 +102,112 @@ def _fwd_tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         twf.astype(np.complex64),
         f2.astype(np.complex64),
     )
+
+
+_GROUPS = 128 // _N1  # sublane groups in the wide layout (8)
+
+
+@lru_cache(maxsize=8)
+def _wide_tables(n: int) -> tuple[np.ndarray, ...]:
+    """Block-diagonal / group-tiled factor tables for the wide layout:
+    (F1blk [128,128], TWF128 [128,1,N2], W2c [N2,N2], F2 [N2,N2],
+    TW128 [128,1,N2], W1blk [128,128]) — the radix-16 factors as exact
+    kron(I_8, W) blocks, twiddles tiled over the 8 sublane groups, the
+    bulk N2 factors unchanged."""
+    n2 = n // _N1
+    w2c, tw, w1c = _inv_tables(n)
+    f1, twf, f2 = _fwd_tables(n)
+    eye = np.eye(_GROUPS)
+    f1blk = np.kron(eye, f1).astype(np.complex64)    # [128, 128]
+    w1blk = np.kron(eye, w1c).astype(np.complex64)   # [128, 128]
+    twf128 = np.tile(twf, (_GROUPS, 1, 1))           # [128, 1, N2]
+    tw128 = np.tile(tw, (_GROUPS, 1, 1))             # [128, 1, N2]
+    return f1blk, twf128, w2c, f2, tw128, w1blk
+
+
+def _make_kernel_wide(nb: int, n2: int, bf: int, bf16: bool = False):
+    """Wide-layout kernel: frames folded into the sublane axis so every
+    matmul runs at full 128-wide MXU occupancy (see module docstring)."""
+    fg = bf // _GROUPS  # frames per sublane group
+
+    def kernel(
+        ar_ref, ai_ref,      # [BF, S] frame bodies
+        br_ref, bi_ref,      # [BF, S] shifted view (lookahead)
+        rr_ref, ri_ref,      # [nb, 128, 1, N2] group-tiled replica spectrum
+        f1r_ref, f1i_ref,    # [128, 128] block-diag forward small DFT
+        twfr_ref, twfi_ref,  # [128, 1, N2] forward twiddle (group-tiled)
+        f2r_ref, f2i_ref,    # [N2, N2] forward bulk DFT
+        w2r_ref, w2i_ref,    # [N2, N2] inverse bulk DFT
+        twr_ref, twi_ref,    # [128, 1, N2] inverse twiddle (group-tiled)
+        w1r_ref, w1i_ref,    # [128, 128] block-diag inverse small DFT
+        pow_ref, bin_ref,    # out [BF, 16, N2]
+    ):
+        w2r, w2i = w2r_ref[:], w2i_ref[:]
+        twr, twi = twr_ref[:], twi_ref[:]
+        w1r, w1i = w1r_ref[:], w1i_ref[:]
+        f1r, f1i = f1r_ref[:], f1i_ref[:]
+        twfr, twfi = twfr_ref[:], twfi_ref[:]
+        f2r, f2i = f2r_ref[:], f2i_ref[:]
+        if bf16:
+            cast = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+            w2r, w2i, w1r, w1i = map(cast, (w2r, w2i, w1r, w1i))
+            f1r, f1i, f2r, f2i = map(cast, (f1r, f1i, f2r, f2i))
+
+        def dot(a, b):
+            if bf16:
+                a = a.astype(jnp.bfloat16)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        s = ar_ref.shape[-1]
+        n = _N1 * n2
+        w_r = jnp.concatenate([ar_ref[:], br_ref[:][:, : n - s]], axis=1)
+        w_i = jnp.concatenate([ai_ref[:], bi_ref[:][:, : n - s]], axis=1)
+        # entry shuffle: [f, m1, m2] -> rows (g, m1), cols (f', m2) with
+        # f = g*fg + f' (the only transpose besides the emit, as before)
+        shuf = lambda w: (  # noqa: E731
+            w.reshape(_GROUPS, fg, _N1, n2)
+            .transpose(0, 2, 1, 3)
+            .reshape(128, fg * n2)
+        )
+        xr, xi = shuf(w_r), shuf(w_i)
+        # forward: block-diag small DFT, twiddle, bulk lane DFT over m2
+        ar = dot(f1r, xr) - dot(f1i, xi)  # [128, fg*N2] rows (g, k1)
+        ai = dot(f1r, xi) + dot(f1i, xr)
+        ar = ar.reshape(128, fg, n2)
+        ai = ai.reshape(128, fg, n2)
+        br = (ar * twfr - ai * twfi).reshape(128 * fg, n2)
+        bi = (ar * twfi + ai * twfr).reshape(128 * fg, n2)
+        y2r = (dot(br, f2r) - dot(bi, f2i)).reshape(128, fg, n2)
+        y2i = (dot(br, f2i) + dot(bi, f2r)).reshape(128, fg, n2)
+
+        pmax = jnp.full((128, fg, n2), -1.0, jnp.float32)
+        pbin = jnp.zeros((128, fg, n2), jnp.int32)
+        for b in range(nb):
+            rr = rr_ref[b]  # [128, 1, N2]
+            ri = ri_ref[b]
+            pr = (y2r * rr - y2i * ri).reshape(128 * fg, n2)
+            pi = (y2r * ri + y2i * rr).reshape(128 * fg, n2)
+            ur = (dot(pr, w2r) - dot(pi, w2i)).reshape(128, fg, n2)
+            ui = (dot(pr, w2i) + dot(pi, w2r)).reshape(128, fg, n2)
+            vr = (ur * twr - ui * twi).reshape(128, fg * n2)
+            vi = (ur * twi + ui * twr).reshape(128, fg * n2)
+            yr = dot(w1r, vr) - dot(w1i, vi)  # rows (g, n1)
+            yi = dot(w1r, vi) + dot(w1i, vr)
+            p = (yr * yr + yi * yi).reshape(128, fg, n2)
+            upd = p > pmax
+            pmax = jnp.where(upd, p, pmax)
+            pbin = jnp.where(upd, b, pbin)
+        # emit frame-major [f, n1, n2]: rows (g, n1), cols (f', c) ->
+        # (g, f', n1, c); f = g*fg + f' makes the reshape exact
+        emit = lambda a: (  # noqa: E731
+            a.reshape(_GROUPS, _N1, fg, n2)
+            .transpose(0, 2, 1, 3)
+            .reshape(bf, _N1, n2)
+        )
+        pow_ref[:] = emit(pmax)
+        bin_ref[:] = emit(pbin)
+
+    return kernel
 
 
 def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
@@ -177,7 +299,8 @@ def _make_kernel(nb: int, n2: int, bf: int, bf16: bool = False):
 
 @partial(
     jax.jit,
-    static_argnames=("fft_size", "interpret", "block_frames", "bf16"),
+    static_argnames=("fft_size", "interpret", "block_frames", "bf16",
+                     "wide"),
 )
 def fused_best_power(
     ar: jax.Array,
@@ -190,6 +313,7 @@ def fused_best_power(
     interpret: bool = False,
     block_frames: int = 16,
     bf16: bool = False,
+    wide: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best-bin correlation power per sample over all frequency bins.
 
@@ -213,6 +337,8 @@ def fused_best_power(
         raise ValueError(f"FPAD={fpad} must be a multiple of {bf}")
     if not (0 < n - s <= s):
         raise ValueError(f"stride {s} must satisfy N-S <= S (N={n})")
+    if wide and bf % _GROUPS:
+        raise ValueError(f"wide layout needs block_frames % {_GROUPS} == 0")
 
     # spectrum k = k1 + 16*k2 -> view [k2, k1]; kernel layout [k1, 1, k2]
     rep2r = replica_fft_conj_r.reshape(nb, n2, _N1).transpose(0, 2, 1)[
@@ -221,8 +347,18 @@ def fused_best_power(
     rep2i = replica_fft_conj_i.reshape(nb, n2, _N1).transpose(0, 2, 1)[
         :, :, None, :
     ]
-    w2c, tw, w1c = _inv_tables(n)
-    f1, twf, f2 = _fwd_tables(n)
+    if wide:
+        # group-tiled replica spectrum + block-diagonal small-DFT tables
+        rep2r = jnp.tile(rep2r, (1, _GROUPS, 1, 1))  # [nb, 128, 1, N2]
+        rep2i = jnp.tile(rep2i, (1, _GROUPS, 1, 1))
+        f1, twf, w2c, f2, tw, w1c = _wide_tables(n)
+        sm = 128  # small-DFT table side
+        kern = _make_kernel_wide(nb, n2, bf, bf16)
+    else:
+        w2c, tw, w1c = _inv_tables(n)
+        f1, twf, f2 = _fwd_tables(n)
+        sm = _N1
+        kern = _make_kernel(nb, n2, bf, bf16)
 
     grid = (fpad // bf,)
     const = lambda i: (0, 0)  # noqa: E731
@@ -231,27 +367,27 @@ def fused_best_power(
     body_blk = lambda i: (i, 0)  # noqa: E731
     out_blk = lambda i: (i, 0, 0)  # noqa: E731  (frame-major)
     out_pow, out_bin = pl.pallas_call(
-        _make_kernel(nb, n2, bf, bf16),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, s), body_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, _N1, 1, n2), const4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, sm, 1, n2), const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, sm, 1, n2), const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, sm), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, sm), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, 1, n2), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, 1, n2), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N1, _N1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, 1, n2), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, sm), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sm, sm), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((bf, _N1, n2), out_blk, memory_space=pltpu.VMEM),
@@ -276,7 +412,9 @@ def fused_best_power(
     return out_pow.reshape(fpad, n), out_bin.reshape(fpad, n)
 
 
-def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
+def _probe(
+    fft_size: int, sync_len: int, num_bins: int, wide: bool = False
+) -> bool:
     """Compile-and-validate the fused correlator on the live TPU at the
     production geometry (real fft_size/stride/bin count): random replica
     spectra, a strong known echo embedded at a known sample, and the whole
@@ -318,6 +456,7 @@ def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
     bp, bb = fused_best_power(
         jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(br), jnp.asarray(bi),
         jnp.asarray(rf.real), jnp.asarray(rf.imag), n, block_frames=bf,
+        wide=wide,
     )
     bp = np.asarray(bp)[:f, :s].reshape(-1)
     bb = np.asarray(bb)[:f, :s].reshape(-1)
@@ -341,15 +480,19 @@ def _probe(fft_size: int, sync_len: int, num_bins: int) -> bool:
     )
 
 
-def fused_enabled(fft_size: int, sync_len: int, num_bins: int) -> bool:
+def fused_enabled(
+    fft_size: int, sync_len: int, num_bins: int, wide: bool = False
+) -> bool:
     """Whether the fused Pallas correlator is usable on this backend at the
     given geometry (probe-compiled + output-validated once per machine per
-    kernel-source version; ``PM_PALLAS_FUSED=1/0`` forces)."""
+    kernel-source version; ``PM_PALLAS_FUSED=1/0`` / ``PM_PALLAS_FUSEDW``
+    force the narrow/wide variants)."""
     import sys
 
     from .pallas_probe import probe_verdict, source_tag
 
+    name = "fusedw" if wide else "fused"
     tag = f"{source_tag(sys.modules[__name__])}_{fft_size}_{sync_len}_{num_bins}"
     return probe_verdict(
-        "fused", tag, lambda: _probe(fft_size, sync_len, num_bins)
+        name, tag, lambda: _probe(fft_size, sync_len, num_bins, wide=wide)
     )

@@ -56,6 +56,33 @@ def test_fused_matches_fft_best_power(fft_size):
     np.testing.assert_array_equal(np.asarray(bb), bb_ref)
 
 
+@pytest.mark.parametrize("fft_size", [2048, 4096])
+def test_wide_layout_matches_narrow(fft_size, monkeypatch):
+    """The wide (block-diagonal kron) layout computes the identical
+    factorization; only the f32 summation tree differs (the K=128 dot
+    groups the 16 nonzero terms differently), so the power plane matches
+    the narrow layout to f32 rounding and the best-bin plane up to
+    noise-floor ties."""
+    rng = np.random.default_rng(5)
+    t = 1 << 14
+    x = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(
+        np.complex64
+    )
+    a = SyncwordAcquirer(
+        AcquisitionConfig(
+            freq_bins=4, max_detections=8, backend="fused", fft_size=fft_size
+        )
+    )
+    monkeypatch.setenv("PM_ACQ_WIDE", "0")
+    bp_n, bb_n = a._best_power_fused(jnp.asarray(x))
+    monkeypatch.setenv("PM_ACQ_WIDE", "1")
+    bp_w, bb_w = a._best_power_fused(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(bp_w), np.asarray(bp_n), rtol=1e-4, atol=1e-3
+    )
+    assert (np.asarray(bb_w) == np.asarray(bb_n)).mean() > 0.999
+
+
 @pytest.mark.parametrize("backend", ["fused", "fused_bf16"])
 def test_fused_acquire_detections_match(backend):
     x = _multi_burst_signal()
