@@ -196,8 +196,6 @@ class SyncwordAcquirer:
             from .fetch_pallas import fetch_enabled
 
             fetch_enabled()
-            if config.resolved_backend().startswith("fused"):
-                self._fused_wide()  # warm the wide-layout probe eagerly
 
     # ------------------------------------------------------------ correlation
 
@@ -276,22 +274,16 @@ class SyncwordAcquirer:
         return jnp.moveaxis(corr, 1, 0).reshape(self.num_bins, nf * s)
 
     def _fused_wide(self) -> bool:
-        """Wide-layout kernel selection (acquire_pallas module docstring):
-        ``PM_ACQ_WIDE=0/1`` forces; on TPU the wide variant requires its own
-        compile+validate probe (falling back to the narrow layout);
-        off-TPU (interpret mode, tests) the wide production path runs."""
+        """Wide-layout kernel selection (acquire_pallas module docstring).
+        Off by default: the round-5 A/B on v5e measured the wide layout
+        SLOWER (14.2 vs 10.5 ms per 16ch x 2^19 step) — the MXU streams
+        only M rows through a [M,16]@[16,N] dot, so the narrow radix-16
+        dots carry no 128-row padding to recover, while the block-diagonal
+        K=128 dots stream 8x the MACs. Kept as a documented negative
+        result; ``PM_ACQ_WIDE=1`` re-enables for measurement."""
         import os
 
-        env = os.environ.get("PM_ACQ_WIDE")
-        if env is not None:
-            return env == "1"
-        if jax.default_backend() != "tpu":
-            return True
-        from .acquire_pallas import fused_enabled
-
-        return fused_enabled(
-            self.config.fft_size, self.sync_len, self.num_bins, wide=True
-        )
+        return os.environ.get("PM_ACQ_WIDE") == "1"
 
     def _best_power_fused(
         self, x: jax.Array, bf16: bool = False

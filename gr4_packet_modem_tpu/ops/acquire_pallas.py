@@ -48,10 +48,16 @@ removes the padding by folding 8 frames into the sublane axis: rows become
 become exact block-diagonal ``kron(I_8, W)`` [128,128] tables, twiddle and
 replica tables tile over the 8 groups, and the bulk N2 contractions are
 row-order-agnostic so they run unchanged. Every matmul is then a
-full-width [128,...] @ [128-deep] pass (~168 passes/frame-block instead of
-~720) and the layout shuffles stay two per block (one at entry, one at
-emit), exactly as before. Numerically identical factorization — the
-block-diagonal zeros contribute nothing.
+full-width [128,...] @ [128-deep] pass and the layout shuffles stay two
+per block (one at entry, one at emit), exactly as before. Numerically
+identical factorization — the block-diagonal zeros contribute nothing.
+
+MEASURED NEGATIVE (round-5 A/B, v5e, 16ch x 2^19 full step): wide 14.19 ms
+vs narrow 10.46 ms. The pass-counting model was wrong about padding: the
+MXU streams only M rows through a [M,16]@[16,N] dot, so the narrow small
+dots never paid a 128-row pad, while the block-diagonal form streams
+K=128 (8x the MACs) per row. Wide stays available via ``PM_ACQ_WIDE=1``
+for re-measurement on other TPU generations; production default is narrow.
 """
 
 from __future__ import annotations
