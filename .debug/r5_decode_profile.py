@@ -92,4 +92,8 @@ def run(label, max_det, env):
 
 
 for label, max_det, env in CONFIGS:
-    run(label, max_det, env)
+    try:
+        run(label, max_det, env)
+    except Exception as e:
+        print(json.dumps({"label": label, "error": repr(e)[:300]}),
+              flush=True)
