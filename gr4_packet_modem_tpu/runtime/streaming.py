@@ -168,7 +168,13 @@ def _flag_overflows(driver, det_ovf: bool, budget_ovf: bool) -> None:
 def _start_d2h(driver, packed) -> None:
     """Kick off the result wire's d2h as soon as the step is dispatched so
     the transfer overlaps the next blocks' compute instead of serializing
-    into materialize (best-effort; not all backends support async copy)."""
+    into materialize (best-effort; not all backends support async copy).
+    ``PM_ASYNC_D2H=0`` disables (A/B hook: on some backends the async copy
+    of a sharded array blocks the dispatching thread instead)."""
+    import os
+
+    if os.environ.get("PM_ASYNC_D2H") == "0":
+        return
     if getattr(driver, "_async_d2h", True):
         try:
             packed.copy_to_host_async()
