@@ -74,12 +74,16 @@ def main():
     ends = starts + np.tile(lens, reps)
     num_pkts_per_block = int(np.count_nonzero(ends <= block))
 
-    # detection cap scales with packets per block (~24.6k samples per
-    # 1500 B burst) with 1.5x headroom, rounded up to a multiple of 8 (the
-    # per-slot decode cost is the dominant per-block fixed cost, so excess
-    # slots directly tax throughput; acquisition overflow is flagged)
+    # detection cap: packets that can start per block (incl. the truncated
+    # tail burst) + 2 slots of headroom, rounded up to a multiple of 4. The
+    # decode passes' cost is row-linear in this cap (PERF_R5 det16/24/32
+    # matrix: det24 = 9.78 ms vs det32 = 10.81 per 16ch step with zero
+    # packet loss; the old 1.5x headroom cost ~1 ms/step), and dropping a
+    # real packet is caught by decoded_frac / the overflow parity gates
+    # ceil already counts a burst starting in the block's final samples
+    pkts_ub = -(-block * len(payloads) // stream.size)
     max_det = int(os.environ.get(
-        "BENCH_MAXDET", str(max(32, -(-3 * block // (2 * 24640) // 8) * 8))
+        "BENCH_MAXDET", str(max(16, -(-(pkts_ub + 2) // 4) * 4))
     ))
     rx = Receiver(
         RxConfig(
