@@ -120,6 +120,25 @@ def test_sharded_bank_compacted_wire_parity():
     assert len(results[None]) == sum(len(p) for p in ch_payloads)
 
 
+def test_sharded_bank_group_pipelining_matches_monolithic():
+    """Channel-group pipelining inside each device's local step must not
+    change results (the chain all-gather inside the lax.map body is
+    collective-matched across shards)."""
+    channels = 8  # (2 ch shards x 2 time shards) -> C_loc = 4
+    x, _ = _stimulus(channels, seed=15)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("ch", "time"))
+    results = {}
+    for group in (0, 2):
+        bank = StreamingShardedBank(
+            mesh, RxConfig(**CFG), channels=channels, block=BLOCK,
+            group=group,
+        )
+        pkts = bank.process(x) + bank.flush()
+        results[group] = sorted(map(_packet_key, pkts))
+    assert len(results[0]) > 0
+    assert results[0] == results[2]
+
+
 def test_sharded_bank_int8_wire():
     """int8 h2d wire stays decode-lossless through the mesh-sharded upload
     (the bench parity gate)."""
