@@ -33,6 +33,11 @@ BENCH = [
     # compaction A/B: same bank64 with the uncompacted wire
     ("bank64_nobudget", {"BENCH_BANK_CHANNELS": "64", "BENCH_SUSTAINED": "0",
                          "BENCH_SHARDED": "0", "BENCH_BUDGET": "0"}),
+    # async-d2h A/B on the sharded driver (its copy_to_host_async showed up
+    # in dispatch time on the first run)
+    ("sharded64_noasync", {"BENCH_BANK_CHANNELS": "64",
+                           "BENCH_SUSTAINED": "0", "BENCH_BANK": "0",
+                           "PM_ASYNC_D2H": "0"}),
 ]
 
 SCRIPTS = [
