@@ -39,7 +39,18 @@ def main():
         help="publish post-Costas header/payload symbols on tcp://*:5000 "
         "and :5001 for scripts/plot_symbols.py (packet_receiver.hpp:159-189)",
     )
+    p.add_argument(
+        "--log-packets",
+        action="store_true",
+        help="per-packet RX debug line (index/len/type/esn0/freq/arm), the "
+        "reference's PayloadMetadataInsert{log:true} "
+        "(payload_metadata_insert.hpp:66)",
+    )
     args = p.parse_args()
+    if args.log_packets:
+        import logging
+
+        logging.basicConfig(level=logging.INFO, format="%(name)s %(message)s")
 
     tun = None
     if args.tun:
@@ -63,6 +74,7 @@ def main():
         block=args.block,
         header_tap=header_tap,
         payload_tap=payload_tap,
+        log=args.log_packets,
     )
     total = 0
     for block in stream_c64_blocks(args.iq_file, args.block):

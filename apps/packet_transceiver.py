@@ -61,12 +61,22 @@ def main():
     p.add_argument("--netns-out", default="")
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument(
+        "--log-packets",
+        action="store_true",
+        help="per-packet RX debug line (index/len/type/esn0/freq/arm), the "
+        "reference's PayloadMetadataInsert{log:true}",
+    )
+    p.add_argument(
         "--zmq",
         action="store_true",
         help="publish post-Costas header/payload symbols on tcp://*:5000 "
         "and :5001 for scripts/plot_symbols.py",
     )
     args = p.parse_args()
+    if args.log_packets:
+        import logging
+
+        logging.basicConfig(level=logging.INFO, format="%(name)s %(message)s")
 
     tx = StreamingTransmitter(
         Transmitter(
@@ -84,6 +94,7 @@ def main():
         block=1 << 17,
         header_tap=header_tap,
         payload_tap=payload_tap,
+        log=args.log_packets,
     )
     throttle = Throttle(args.samp_rate)
     probe = ProbeRate()
