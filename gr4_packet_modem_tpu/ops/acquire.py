@@ -464,13 +464,42 @@ class SyncwordAcquirer:
         )
         # noise power: mean power of the out-of-band (high-pass) component in
         # the CFAR window, scaled to full-band complex noise power — the same
-        # quantity the reference reads off the central FFT bins
-        h = jnp.asarray(self._noise_filter)
-        hp = jax.lax.complex(
-            jnp.convolve(x.real, h, mode="same"),
-            jnp.convolve(x.imag, h, mode="same"),
+        # quantity the reference reads off the central FFT bins. Computed
+        # ONLY at the <= D candidate windows: the round-4 form ran the
+        # 33-tap convolve + a cumsum over the ENTIRE buffer and cost ~14 ms
+        # per 16-channel 2^19 step — 3x the correlator — while being
+        # silently DCE'd in any program that dropped esn0 (PERF_R5.md).
+        # Candidate windows are fetched like _corr_points' refinement
+        # windows; the windowed values are numerically identical to the
+        # full-buffer 'same' convolve for all eligible (interior) starts.
+        h = self._noise_filter
+        k = h.size
+        region = 2 * w + k  # conv support for the 2w+1 window values
+        tc2 = jnp.clip(ti - w - (k - 1) // 2, 0, x.shape[0] - region)
+        from .fetch_pallas import fetch_enabled, fetch_regions
+
+        if jax.default_backend() == "tpu" and fetch_enabled():
+            wnr, wni = fetch_regions(x.real, x.imag, tc2, region)  # [D, R]
+        else:
+            wnr = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.real, (t,), (region,))
+            )(tc2)
+            wni = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.imag, (t,), (region,))
+            )(tc2)
+        dd = ti.shape[0]
+        inp = jnp.concatenate([wnr, wni], axis=0).T[None]  # [1, R, 2D]
+        kern = np.tile(
+            h[::-1].reshape(k, 1, 1).astype(np.float32), (1, 1, 2 * dd)
         )
-        noise_power = _sliding_mean_at(hp, ti, w) / np.float32(self._noise_gain)
+        hp2 = jax.lax.conv_general_dilated(
+            inp, kern, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=2 * dd,
+            preferred_element_type=jnp.float32,
+        )[0]  # [2w+1, 2D]
+        pw = hp2[:, :dd] ** 2 + hp2[:, dd:] ** 2
+        noise_power = jnp.mean(pw, axis=0) / np.float32(self._noise_gain)
         noise_power = jnp.maximum(noise_power, 1e-12)
         sync_power = amplitude**2 * np.float32(self.self_corr)
         esn0 = 10.0 * jnp.log10(
@@ -584,13 +613,3 @@ def chunked_peak_detect(
         top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
         top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
     return top_pow, top_idx, overflow
-
-
-def _sliding_mean_at(x: jax.Array, idx: jax.Array, w: int) -> jax.Array:
-    """mean |x|^2 over [i-w, i+w] at given indices."""
-    p = jnp.abs(x) ** 2
-    csum = jnp.concatenate([jnp.zeros(1, p.dtype), jnp.cumsum(p)])
-    n = p.shape[0]
-    lo = jnp.clip(idx - w, 0, n)
-    hi = jnp.clip(idx + w + 1, 0, n)
-    return (csum[hi] - csum[lo]) / jnp.maximum(hi - lo, 1).astype(p.dtype)

@@ -82,7 +82,16 @@ def _probe() -> bool:
         (np.asarray(outr2) == expect2).all()
         and (np.asarray(outi2) == -expect2).all()
     )
-    return ok1 and ok2 and ok3
+    # candidate-local noise-window geometry (2*time_threshold + 33 taps —
+    # ops/acquire.py round-5 noise estimator)
+    rl3 = 1569
+    starts3 = np.asarray([0, 7, 2049, 8192 - rl3], np.int32)
+    outr3, _ = fetch_regions(
+        jnp.asarray(x), jnp.asarray(-x), jnp.asarray(starts3), rl3
+    )
+    expect3 = np.stack([x[s : s + rl3] for s in starts3])
+    ok4 = bool((np.asarray(outr3) == expect3).all())
+    return ok1 and ok2 and ok3 and ok4
 
 
 def fetch_enabled() -> bool:
