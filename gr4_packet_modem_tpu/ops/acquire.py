@@ -309,26 +309,34 @@ class SyncwordAcquirer:
         return bp[:f, :s].reshape(-1), bb[:f, :s].reshape(-1)
 
     def _corr_points(
-        self, x: jax.Array, bins: jax.Array, times: jax.Array
+        self, x: jax.Array, bins: jax.Array, times: jax.Array,
+        windows: tuple[jax.Array, jax.Array] | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Exact correlation values at candidate points by direct dots:
         corr[b, t] = sum_k conj(rep[b, k]) x[t+k], evaluated for bins
         {b-1, b, b+1} at each point. Returns (re [D], im [D] at the centre
-        bin, powers [D, 3])."""
+        bin, powers [D, 3]). ``windows`` (optional): precomputed
+        ``(wr, wi)`` ``[D, sync_len]`` sample windows starting at ``times``
+        — acquire() derives them from the (larger) noise-estimation regions
+        so only ONE batched fetch runs per acquire (each fetch_regions call
+        measured ~1.7 ms per 16ch x 2^19 step, docs/PERF_R5.md)."""
         ll = self.sync_len
         nb = self.num_bins
-        tc = jnp.clip(times, 0, x.shape[0] - ll)
-        from .fetch_pallas import fetch_enabled, fetch_regions
-
-        if jax.default_backend() == "tpu" and fetch_enabled():
-            wr, wi = fetch_regions(x.real, x.imag, tc, ll)  # [D, L]
+        if windows is not None:
+            wr, wi = windows
         else:
-            wr = jax.vmap(
-                lambda t: jax.lax.dynamic_slice(x.real, (t,), (ll,))
-            )(tc)  # [D, L]
-            wi = jax.vmap(
-                lambda t: jax.lax.dynamic_slice(x.imag, (t,), (ll,))
-            )(tc)
+            tc = jnp.clip(times, 0, x.shape[0] - ll)
+            from .fetch_pallas import fetch_enabled, fetch_regions
+
+            if jax.default_backend() == "tpu" and fetch_enabled():
+                wr, wi = fetch_regions(x.real, x.imag, tc, ll)  # [D, L]
+            else:
+                wr = jax.vmap(
+                    lambda t: jax.lax.dynamic_slice(x.real, (t,), (ll,))
+                )(tc)  # [D, L]
+                wi = jax.vmap(
+                    lambda t: jax.lax.dynamic_slice(x.imag, (t,), (ll,))
+                )(tc)
         b3 = jnp.stack(
             [jnp.maximum(bins - 1, 0), bins, jnp.minimum(bins + 1, nb - 1)],
             axis=-1,
@@ -421,12 +429,55 @@ class SyncwordAcquirer:
         bin_spacing = np.float32(np.pi / self.sync_len)
         ti = top_idx
         b = top_pow
+        # ONE batched region fetch serves both candidate estimators: the
+        # noise window [ti-w-16, ti+w+17) contains the syncword refinement
+        # window [ti, ti+sync_len) — the fetch dominates the estimation
+        # tail (~1.7 ms per fetch_regions call per 16ch x 2^19 step,
+        # docs/PERF_R5.md), so acquire issues exactly one
+        h = self._noise_filter
+        k = h.size
+        region = 2 * w + k  # conv support for the 2w+1 noise-window values
+        tc2 = jnp.clip(ti - w - (k - 1) // 2, 0, x.shape[0] - region)
+        from .fetch_pallas import fetch_enabled, fetch_regions
+
+        if jax.default_backend() == "tpu" and fetch_enabled():
+            wnr, wni = fetch_regions(x.real, x.imag, tc2, region)  # [D, R]
+        else:
+            wnr = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.real, (t,), (region,))
+            )(tc2)
+            wni = jax.vmap(
+                lambda t: jax.lax.dynamic_slice(x.imag, (t,), (region,))
+            )(tc2)
         if backend.startswith("fused"):
             # the kernel reduces to best-bin power only; adjacent-bin powers
             # and the complex value at the peak are recomputed exactly at
-            # the <= D candidate points by direct correlation
+            # the <= D candidate points by direct correlation. The syncword
+            # window is carved out of the fetched noise region by an exact
+            # one-hot shift matmul: the offset ti - tc2 is w+16 except when
+            # the region clipped at the buffer start, where valid
+            # candidates sit in [w, w+16) (one-hot f32 selection must run
+            # at Precision.HIGHEST — the default bf16 MXU multiply corrupts
+            # f32 values even against an exact one-hot)
             bi = best_bin_flat[ti]
-            cr_pt, ci_pt, p3 = self._corr_points(x, bi, ti)
+            ll = self.sync_len
+            off = ti - tc2
+            sh0, nsh = w, (k - 1) // 2 + 1
+            stack_r = jnp.stack(
+                [wnr[:, o : o + ll] for o in range(sh0, sh0 + nsh)], axis=1
+            )  # [D, nsh, L]
+            stack_i = jnp.stack(
+                [wni[:, o : o + ll] for o in range(sh0, sh0 + nsh)], axis=1
+            )
+            onehot_s = (
+                off[:, None] == jnp.arange(sh0, sh0 + nsh)[None]
+            ).astype(jnp.float32)  # [D, nsh]
+            hi = jax.lax.Precision.HIGHEST
+            wr_c = jnp.einsum("ds,dsl->dl", onehot_s, stack_r, precision=hi)
+            wi_c = jnp.einsum("ds,dsl->dl", onehot_s, stack_i, precision=hi)
+            cr_pt, ci_pt, p3 = self._corr_points(
+                x, bi, ti, windows=(wr_c, wi_c)
+            )
             p_left, p_right = p3[:, 0], p3[:, 2]
             phase_raw = jnp.arctan2(ci_pt, cr_pt)
         else:
@@ -465,28 +516,12 @@ class SyncwordAcquirer:
         # noise power: mean power of the out-of-band (high-pass) component in
         # the CFAR window, scaled to full-band complex noise power — the same
         # quantity the reference reads off the central FFT bins. Computed
-        # ONLY at the <= D candidate windows: the round-4 form ran the
-        # 33-tap convolve + a cumsum over the ENTIRE buffer and cost ~14 ms
-        # per 16-channel 2^19 step — 3x the correlator — while being
-        # silently DCE'd in any program that dropped esn0 (PERF_R5.md).
-        # Candidate windows are fetched like _corr_points' refinement
-        # windows; the windowed values are numerically identical to the
-        # full-buffer 'same' convolve for all eligible (interior) starts.
-        h = self._noise_filter
-        k = h.size
-        region = 2 * w + k  # conv support for the 2w+1 window values
-        tc2 = jnp.clip(ti - w - (k - 1) // 2, 0, x.shape[0] - region)
-        from .fetch_pallas import fetch_enabled, fetch_regions
-
-        if jax.default_backend() == "tpu" and fetch_enabled():
-            wnr, wni = fetch_regions(x.real, x.imag, tc2, region)  # [D, R]
-        else:
-            wnr = jax.vmap(
-                lambda t: jax.lax.dynamic_slice(x.real, (t,), (region,))
-            )(tc2)
-            wni = jax.vmap(
-                lambda t: jax.lax.dynamic_slice(x.imag, (t,), (region,))
-            )(tc2)
+        # ONLY at the <= D candidate regions fetched above: the round-4 form
+        # ran the 33-tap convolve + a cumsum over the ENTIRE buffer and cost
+        # ~14 ms per 16-channel 2^19 step — 3x the correlator — while being
+        # silently DCE'd in any program that dropped esn0 (PERF_R5.md). The
+        # windowed values are numerically identical to the full-buffer
+        # 'same' convolve for all eligible (interior) starts.
         dd = ti.shape[0]
         inp = jnp.concatenate([wnr, wni], axis=0).T[None]  # [1, R, 2D]
         kern = np.tile(
