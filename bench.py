@@ -107,13 +107,18 @@ def main():
     group = int(os.environ.get("BENCH_GROUP", "16"))
 
     def rx_step(samples_2d):
-        _, _, res, _ = rx.bank_step(samples_2d, group)
-        return res.accepted.sum(), res.crc_ok.sum()
+        det, _, res, _ = rx.bank_step(samples_2d, group)
+        # consume the esn0 estimates too: without this XLA dead-code
+        # eliminates the noise-estimation branch and the metric measures
+        # less than the full chain (r5 finding — the serving paths, which
+        # ship esn0 per packet, paid ~14 ms/16ch that the resident bench
+        # hid; now candidate-local and ~0.5 ms/16ch, docs/PERF_R5.md)
+        return res.accepted.sum(), res.crc_ok.sum(), det.esn0_db.sum()
 
     step = jax.jit(rx_step)
     # warmup / compile
     t0 = time.time()
-    acc, crc = jax.block_until_ready(step(xj))
+    acc, crc, _ = jax.block_until_ready(step(xj))
     compile_s = time.time() - t0
     acc = np.asarray(acc)
     decoded_frac = float(acc.sum()) / max(num_pkts_per_block * channels, 1)
