@@ -83,6 +83,43 @@ def test_wide_layout_matches_narrow(fft_size, monkeypatch):
     assert (np.asarray(bb_w) == np.asarray(bb_n)).mean() > 0.999
 
 
+def test_fused_estimates_at_clipped_noise_region():
+    """A syncword starting inside [w, w+16) clips the shared noise/corr
+    fetch region at the buffer start; the one-hot shift must still carve
+    the exact syncword window (estimates match the fft backend, which
+    never fetches)."""
+    tx = Transmitter(TxConfig(max_payload_len=64))
+    rng = np.random.default_rng(9)
+    payload = rng.integers(0, 256, 30, dtype=np.uint8)
+    batch = PacketBatch.from_list([payload], max_len=64)
+    s, l = tx.modulate_bursts(batch)
+    burst = np.asarray(s)[0, : int(np.asarray(l)[0])]
+    x = np.zeros(1 << 14, np.complex64)
+    start = 771  # eligible (>= time_threshold 768) but region-clipped
+    x[start : start + burst.size] = burst
+    xj = awgn(jax.random.PRNGKey(2), jnp.asarray(x), 0.03)
+
+    det_ref = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=4)
+    ).acquire(xj)
+    det = SyncwordAcquirer(
+        AcquisitionConfig(freq_bins=4, max_detections=4, backend="fused")
+    ).acquire(xj)
+    vref, v = np.asarray(det_ref.valid), np.asarray(det.valid)
+    assert vref[0] and int(np.asarray(det_ref.index)[0]) == start
+    np.testing.assert_array_equal(v, vref)
+    np.testing.assert_array_equal(
+        np.asarray(det.index)[vref], np.asarray(det_ref.index)[vref]
+    )
+    for field, tol in [("phase", 1e-3), ("freq", 1e-6), ("esn0_db", 1e-2),
+                       ("amplitude", 1e-3)]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(det, field))[vref],
+            np.asarray(getattr(det_ref, field))[vref],
+            rtol=2e-3, atol=tol, err_msg=field,
+        )
+
+
 @pytest.mark.parametrize("backend", ["fused", "fused_bf16"])
 def test_fused_acquire_detections_match(backend):
     x = _multi_burst_signal()
