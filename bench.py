@@ -160,7 +160,8 @@ def main():
         # below PROVES decode is lossless at this wire format)
         xfer = os.environ.get("BENCH_XFER", "int8")
         transfer_dtype = {
-            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8,
+            "int4": "int4",  # packed 2-samples-per-byte wire
         }[xfer]
         srx = StreamingReceiver(
             RxConfig(
@@ -232,7 +233,8 @@ def main():
         bank_ch = int(os.environ.get("BENCH_BANK_CHANNELS", "8"))
         xfer = os.environ.get("BENCH_XFER", "int8")
         transfer_dtype = {
-            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8,
+            "int4": "int4",  # packed 2-samples-per-byte wire
         }[xfer]
         bank_group = 16 if bank_ch > 16 and bank_ch % 16 == 0 else 0
         bank = StreamingBank(
@@ -305,7 +307,8 @@ def main():
         bank_ch = int(os.environ.get("BENCH_BANK_CHANNELS", "8"))
         xfer = os.environ.get("BENCH_XFER", "int8")
         transfer_dtype = {
-            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8
+            "f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8,
+            "int4": "int4",  # packed 2-samples-per-byte wire
         }[xfer]
         mesh = make_mesh(len(jax.devices()))
         sbank = StreamingShardedBank(

@@ -141,7 +141,9 @@ class StreamingShardedBank(StreamingBank):
             planes_full = jax.lax.all_gather(
                 planes_loc, "time", axis=2, tiled=True
             )  # [2, C_loc, block] — reassemble the block over ICI
-            chunk = planes_to_complex(planes_full)  # [C_loc, block]
+            chunk = planes_to_complex(
+                planes_full, packed_int4=self.transfer_dtype == "int4"
+            )  # [C_loc, block] — int4 also halves the ICI gather bytes
             window = jnp.concatenate([tail_loc, chunk], axis=1)
             tail_next = window[:, block:]  # last fp+pt (identical per shard)
             idx_t = jax.lax.axis_index("time")

@@ -302,7 +302,9 @@ class StreamingReceiver:
         def step(buf, chunk_planes, busy0):
             # dequantize the wire planes and slide the buffer INSIDE the jit
             # (buf is donated: updated in place on device)
-            chunk = planes_to_complex(chunk_planes)
+            chunk = planes_to_complex(
+                chunk_planes, packed_int4=self.transfer_dtype == "int4"
+            )
             buf = jnp.concatenate([buf[self.block :], chunk])
             # fresh-window restriction BEFORE candidate top-k: only syncword
             # starts inside [fresh_lo, fresh_hi) compete for detection slots,
@@ -559,7 +561,9 @@ class StreamingBank:
             )
 
         def step(buf, chunk_planes, busy0):
-            chunk = planes_to_complex(chunk_planes)  # [C, block]
+            chunk = planes_to_complex(
+                chunk_planes, packed_int4=self.transfer_dtype == "int4"
+            )  # [C, block]
             buf = jnp.concatenate([buf[:, self.block :], chunk], axis=1)
             c = self.channels
             if self.group:

@@ -139,9 +139,11 @@ def test_sharded_bank_group_pipelining_matches_monolithic():
     assert results[0] == results[2]
 
 
-def test_sharded_bank_int8_wire():
-    """int8 h2d wire stays decode-lossless through the mesh-sharded upload
-    (the bench parity gate)."""
+@pytest.mark.parametrize("xfer", ["int8", "int4"])
+def test_sharded_bank_quantized_wire(xfer):
+    """Reduced-precision h2d wires (int8, packed int4) stay decode-lossless
+    through the mesh-sharded upload + ICI reassembly (the bench parity
+    gate)."""
     import jax.numpy as jnp
 
     channels = 4
@@ -149,7 +151,8 @@ def test_sharded_bank_int8_wire():
     mesh = make_mesh(8, time_shards=2)
     bank = StreamingShardedBank(
         mesh, RxConfig(**CFG), channels=channels, block=BLOCK, group=0,
-        transfer_dtype=jnp.int8, result_budget=4,
+        transfer_dtype=jnp.int8 if xfer == "int8" else "int4",
+        result_budget=4,
     )
     pkts = bank.process(x) + bank.flush()
     assert bank.overflow_blocks == 0 and bank.budget_overflow_blocks == 0

@@ -85,6 +85,38 @@ def test_bank_int8_wire_parity():
             np.testing.assert_array_equal(g, e)
 
 
+def test_bank_int4_wire_parity():
+    """Packed-int4 wire (two samples per byte): ~21.7 dB quantization SNR
+    floor must stay decode-lossless on noisy traffic (the half-size h2d
+    wire the serving bench can select with BENCH_XFER=int4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gr4_packet_modem_tpu.models.channel import awgn
+
+    rng = np.random.default_rng(8)
+    payloads = [rng.integers(0, 256, 90, dtype=np.uint8) for _ in range(2)]
+    stream = _burst_stream(payloads)
+    x = np.zeros((2, stream.size + 1000), np.complex64)
+    for c in range(2):
+        x[c, 40 + 13 * c : 40 + 13 * c + stream.size] = stream
+    # moderate channel noise on top of the quantization floor
+    x = np.asarray(awgn(jax.random.PRNGKey(4), jnp.asarray(x), 0.05))
+
+    bank = StreamingBank(
+        RxConfig(**CFG), channels=2, block=BLOCK, group=0,
+        transfer_dtype="int4",
+    )
+    pkts = bank.process(x) + bank.flush()
+    assert len(pkts) == 4 and bank.overflow_blocks == 0
+    for c in range(2):
+        got = [p.data for p in sorted(pkts, key=lambda p: p.index)
+               if p.channel == c]
+        assert len(got) == 2
+        for g, e in zip(got, payloads):
+            np.testing.assert_array_equal(g, e)
+
+
 def test_bank_group_pipelining_matches_monolithic():
     rng = np.random.default_rng(7)
     payloads = [rng.integers(0, 256, 64, dtype=np.uint8)]
