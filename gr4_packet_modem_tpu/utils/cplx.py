@@ -125,6 +125,58 @@ def _quantize_int8_into(src: np.ndarray, dst: np.ndarray) -> None:
         list(ex.map(work, range(workers)))
 
 
+def _quantize_int4_into(src: np.ndarray, dst: np.ndarray) -> None:
+    """``dst`` = biased-int4 sample pairs of ``src`` packed two-per-byte
+    (``clip(round(src*INT4_SCALE), -7, 7) + 8``), thread-parallel like
+    :func:`_quantize_int8_into` — the single-pass form cost hundreds of ms
+    per 64-channel block on the serving path. ``src`` may be a strided
+    plane view; ``dst`` has half its last axis."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if src.size == 0:
+        return
+    src2 = src.reshape(-1, src.shape[-1]) if src.ndim > 1 else src[None]
+    dst2 = dst.reshape(src2.shape[0], -1)
+    rows = src2.shape[0]
+    # chunk along rows when there are several; otherwise along the (even)
+    # sample axis of the single row
+    if rows > 1:
+        workers = max(1, min(8, os.cpu_count() or 1, rows))
+        bounds = [
+            (slice(i * -(-rows // workers),
+                   min((i + 1) * -(-rows // workers), rows)),
+             slice(None))
+            for i in range(workers)
+        ]
+    else:
+        n = src2.shape[1]
+        workers = max(1, min(8, os.cpu_count() or 1))
+        step = (-(-n // workers) + 1) // 2 * 2  # even split
+        bounds = [
+            (slice(0, 1), slice(i * step, min((i + 1) * step, n)))
+            for i in range(workers)
+        ]
+
+    def work(b):
+        rs, cs = b
+        tmp = np.multiply(src2[rs, cs], INT4_SCALE)
+        np.rint(tmp, out=tmp)
+        np.clip(tmp, -7, 7, out=tmp)
+        q = (tmp + 8.0).astype(np.uint8)
+        dcs = slice(
+            (cs.start or 0) // 2,
+            None if cs.stop is None else -(-cs.stop // 2),
+        )
+        dst2[rs, dcs] = q[..., 0::2] | (q[..., 1::2] << 4)
+
+    if src.size < (1 << 20) or workers == 1:
+        for b in bounds:
+            work(b)
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        list(ex.map(work, bounds))
+
+
 def to_transfer_planes(x: np.ndarray, transfer_dtype=None) -> np.ndarray:
     """Pack complex host samples into ONE ``[2, ...]`` real plane array in
     the wire dtype (f32 / bf16 / int8 fixed-point / ``"int4"`` packed
@@ -138,11 +190,8 @@ def to_transfer_planes(x: np.ndarray, transfer_dtype=None) -> np.ndarray:
         if x.shape[-1] % 2:
             raise ValueError("int4 wire needs an even last axis")
         out = np.empty((2,) + x.shape[:-1] + (x.shape[-1] // 2,), np.uint8)
-        for i, plane in enumerate((x.real, x.imag)):
-            q = np.clip(
-                np.rint(np.multiply(plane, INT4_SCALE)), -7, 7
-            ).astype(np.int8) + 8  # biased to [1, 15]
-            out[i] = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+        _quantize_int4_into(x.real, out[0])
+        _quantize_int4_into(x.imag, out[1])
         return out
     if transfer_dtype is not None and jnp.dtype(transfer_dtype) == jnp.int8:
         out = np.empty((2,) + x.shape, np.int8)

@@ -38,6 +38,9 @@ BENCH = [
     ("sharded64_noasync", {"BENCH_BANK_CHANNELS": "64",
                            "BENCH_SUSTAINED": "0", "BENCH_BANK": "0",
                            "PM_ASYNC_D2H": "0"}),
+    # packed-int4 wire (2 samples/byte): halves h2d + ICI bytes, parity-gated
+    ("bank64_int4", {"BENCH_BANK_CHANNELS": "64", "BENCH_SUSTAINED": "0",
+                     "BENCH_SHARDED": "0", "BENCH_XFER": "int4"}),
 ]
 
 SCRIPTS = [
