@@ -6,7 +6,10 @@ the acquisition output inside the same program). As vmapped
 ``lax.dynamic_slice`` ops each slice pays a vector->scalar readback stall on
 this backend, which dominates both decode passes. This kernel makes the
 starts a *scalar-prefetch* operand (one readback for the whole [D] array
-into SMEM) and issues one HBM->VMEM DMA per grid step.
+into SMEM) and fetches ``_BATCH`` regions per grid step — all of a step's
+HBM->VMEM DMAs are in flight before its first wait, so they overlap each
+other and the extracts (one region per step measured ~4.5 us of DMA-wait
+stall each, round 5).
 
 Alignment: Mosaic requires HBM slice indices/shapes to be *provably*
 divisible by the source tiling (1024 for 1-D f32; 8 rows for a [.., 128]
@@ -133,32 +136,59 @@ def _extract(w, s0, rpr: int):
     )
 
 
+_BATCH = 4  # regions per grid step: their DMAs are all in flight before the
+#             first wait (each overlaps the previous region's extract), and
+#             the per-step grid overhead amortizes — one region per step
+#             measured ~4.5 us each, a DMA-wait stall per step (round 5)
+
+
 def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi,
             wr_scr, wi_scr):
     d = pl.program_id(0)
-    s0 = starts_ref[d]
-    wr = wr_scr.shape[0]
-    row0 = (s0 // 1024) * 8  # divisible by 8 by construction
-    cr = pltpu.make_async_copy(xr_hbm.at[pl.ds(row0, wr)], wr_scr, semr)
-    ci = pltpu.make_async_copy(xi_hbm.at[pl.ds(row0, wr)], wi_scr, semi)
-    cr.start()
-    ci.start()
-    cr.wait()
-    ci.wait()
+    g, wr = wr_scr.shape[0], wr_scr.shape[1]
     rpr = outr_ref.shape[-2]
-    outr_ref[0] = _extract(wr_scr[:], s0, rpr)
-    outi_ref[0] = _extract(wi_scr[:], s0, rpr)
+
+    def copies(j):
+        s0 = starts_ref[d * g + j]
+        row0 = (s0 // 1024) * 8  # divisible by 8 by construction
+        cr = pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(row0, wr)], wr_scr.at[j], semr.at[j]
+        )
+        ci = pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(row0, wr)], wi_scr.at[j], semi.at[j]
+        )
+        return s0, cr, ci
+
+    for j in range(g):
+        _, cr, ci = copies(j)
+        cr.start()
+        ci.start()
+    for j in range(g):
+        s0, cr, ci = copies(j)
+        cr.wait()
+        ci.wait()
+        outr_ref[j] = _extract(wr_scr[j], s0, rpr)
+        outi_ref[j] = _extract(wi_scr[j], s0, rpr)
 
 
 def _kernel1(starts_ref, x_hbm, out_ref, sem, w_scr):
     d = pl.program_id(0)
-    s0 = starts_ref[d]
-    wr = w_scr.shape[0]
-    row0 = (s0 // 1024) * 8
-    c = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, wr)], w_scr, sem)
-    c.start()
-    c.wait()
-    out_ref[0] = _extract(w_scr[:], s0, out_ref.shape[-2])
+    g, wr = w_scr.shape[0], w_scr.shape[1]
+    rpr = out_ref.shape[-2]
+
+    def copy(j):
+        s0 = starts_ref[d * g + j]
+        row0 = (s0 // 1024) * 8
+        return s0, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(row0, wr)], w_scr.at[j], sem.at[j]
+        )
+
+    for j in range(g):
+        copy(j)[1].start()
+    for j in range(g):
+        s0, c = copy(j)
+        c.wait()
+        out_ref[j] = _extract(w_scr[j], s0, rpr)
 
 
 def _geometry(t: int, region_len: int) -> tuple[int, int, int]:
@@ -172,29 +202,39 @@ def _geometry(t: int, region_len: int) -> tuple[int, int, int]:
     return rpad, wsize, t2
 
 
+def _pad_starts(starts: jax.Array, d: int, g: int) -> tuple[jax.Array, int]:
+    dpad = -(-d // g) * g
+    s = starts.astype(jnp.int32)
+    if dpad != d:
+        s = jnp.concatenate([s, jnp.zeros(dpad - d, jnp.int32)])
+    return s, dpad
+
+
 def _fetch_rows_impl(
     x: jax.Array, starts: jax.Array, region_len: int, interpret: bool
 ) -> jax.Array:
     d = starts.shape[0]
+    g = _BATCH
     rpad, wsize, t2 = _geometry(x.shape[0], region_len)
     x = jnp.concatenate([x, jnp.zeros(t2 - x.shape[0], x.dtype)])
     x2 = x.reshape(t2 // 128, 128)
+    starts_p, dpad = _pad_starts(starts, d, g)
     out = pl.pallas_call(
         _kernel1,
-        grid=(d,),
+        grid=(dpad // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, rpad // 128, 128), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, rpad // 128, 128), lambda i: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((wsize // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+            pltpu.VMEM((g, wsize // 128, 128), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((d, rpad // 128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dpad, rpad // 128, 128), jnp.float32),
         interpret=interpret,
-    )(starts.astype(jnp.int32), x2)
-    return out.reshape(d, rpad)[:, :region_len]
+    )(starts_p, x2)
+    return out.reshape(dpad, rpad)[:d, :region_len]
 
 
 def fetch_rows(
@@ -248,15 +288,17 @@ def _fetch_regions_impl(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     d = starts.shape[0]
+    g = _BATCH
     rpad, wsize, t2 = _geometry(xr.shape[0], region_len)
     ext = jnp.zeros(t2 - xr.shape[0], xr.dtype)
     x2r = jnp.concatenate([xr, ext]).reshape(t2 // 128, 128)
     x2i = jnp.concatenate([xi, ext]).reshape(t2 // 128, 128)
-    out_spec = pl.BlockSpec((1, rpad // 128, 128), lambda i: (i, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((d, rpad // 128, 128), jnp.float32)
+    starts_p, dpad = _pad_starts(starts, d, g)
+    out_spec = pl.BlockSpec((g, rpad // 128, 128), lambda i: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((dpad, rpad // 128, 128), jnp.float32)
     outr, outi = pl.pallas_call(
         _kernel,
-        grid=(d,),
+        grid=(dpad // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -264,17 +306,17 @@ def _fetch_regions_impl(
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((wsize // 128, 128), jnp.float32),
-            pltpu.VMEM((wsize // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+            pltpu.SemaphoreType.DMA((g,)),
+            pltpu.VMEM((g, wsize // 128, 128), jnp.float32),
+            pltpu.VMEM((g, wsize // 128, 128), jnp.float32),
         ],
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(starts.astype(jnp.int32), x2r, x2i)
+    )(starts_p, x2r, x2i)
     return (
-        outr.reshape(d, rpad)[:, :region_len],
-        outi.reshape(d, rpad)[:, :region_len],
+        outr.reshape(dpad, rpad)[:d, :region_len],
+        outi.reshape(dpad, rpad)[:d, :region_len],
     )
 
 
