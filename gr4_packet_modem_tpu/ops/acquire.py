@@ -522,19 +522,20 @@ class SyncwordAcquirer:
         # silently DCE'd in any program that dropped esn0 (PERF_R5.md). The
         # windowed values are numerically identical to the full-buffer
         # 'same' convolve for all eligible (interior) starts.
-        dd = ti.shape[0]
-        inp = jnp.concatenate([wnr, wni], axis=0).T[None]  # [1, R, 2D]
-        kern = np.tile(
-            h[::-1].reshape(k, 1, 1).astype(np.float32), (1, 1, 2 * dd)
-        )
-        hp2 = jax.lax.conv_general_dilated(
-            inp, kern, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=2 * dd,
-            preferred_element_type=jnp.float32,
-        )[0]  # [2w+1, 2D]
-        pw = hp2[:, :dd] ** 2 + hp2[:, dd:] ** 2
-        noise_power = jnp.mean(pw, axis=0) / np.float32(self._noise_gain)
+        # the 33-tap filter as unrolled shifted adds on the VPU: the
+        # grouped-conv formulation costs ~ms per call on this backend
+        # nearly independent of size (the round-3 finding that motivated
+        # ops/matched_pallas.py), while the kernel here is SHARED across
+        # rows so no per-group taps are needed at all
+        h_rev = h[::-1].astype(np.float32)
+        win = 2 * w + 1
+        hp_r = np.float32(h_rev[0]) * wnr[:, 0:win]
+        hp_i = np.float32(h_rev[0]) * wni[:, 0:win]
+        for j in range(1, k):
+            hp_r = hp_r + np.float32(h_rev[j]) * wnr[:, j : j + win]
+            hp_i = hp_i + np.float32(h_rev[j]) * wni[:, j : j + win]
+        pw = hp_r**2 + hp_i**2  # [D, 2w+1]
+        noise_power = jnp.mean(pw, axis=1) / np.float32(self._noise_gain)
         noise_power = jnp.maximum(noise_power, 1e-12)
         sync_power = amplitude**2 * np.float32(self.self_corr)
         esn0 = 10.0 * jnp.log10(
