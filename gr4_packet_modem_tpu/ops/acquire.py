@@ -404,25 +404,34 @@ class SyncwordAcquirer:
         cfg = self.config
         backend = cfg.resolved_backend()
         w = cfg.time_threshold
+        pa_sel = pc_sel = bi_sel = None
         if backend.startswith("fused"):
             best_pow, best_bin_flat = self._best_power_fused(
                 x, bf16=backend == "fused_bf16"
             )
             corr = power = None
+            # the per-candidate bin and neighbour powers come back from the
+            # peak detector's chunk rows — no [T']-sized gathers
+            (top_pow, top_idx, bi_sel, pa_sel, pc_sel, overflow) = (
+                chunked_peak_detect(
+                    best_pow, w, cfg.max_detections, cfg.power_threshold,
+                    fresh_lo, fresh_hi, best_bin_flat,
+                )
+            )
         else:
             corr = self.correlate(x)  # [nb, T']
             power = jnp.abs(corr) ** 2  # [nb, T']
             best_pow = jnp.max(power, axis=0)  # [T']
             best_bin = jnp.argmax(power, axis=0).astype(jnp.int32)
+            top_pow, top_idx, overflow = chunked_peak_detect(
+                best_pow,
+                w,
+                cfg.max_detections,
+                cfg.power_threshold,
+                fresh_lo,
+                fresh_hi,
+            )
         tlen = best_pow.shape[0]
-        top_pow, top_idx, overflow = chunked_peak_detect(
-            best_pow,
-            w,
-            cfg.max_detections,
-            cfg.power_threshold,
-            fresh_lo,
-            fresh_hi,
-        )
         cand_valid = top_pow > 0
         # ---------------- parameter estimation at candidates
         nb = self.num_bins
@@ -459,7 +468,7 @@ class SyncwordAcquirer:
             # candidates sit in [w, w+16) (one-hot f32 selection must run
             # at Precision.HIGHEST — the default bf16 MXU multiply corrupts
             # f32 values even against an exact one-hot)
-            bi = best_bin_flat[ti]
+            bi = bi_sel
             ll = self.sync_len
             off = ti - tc2
             sh0, nsh = w, (k - 1) // 2 + 1
@@ -507,8 +516,11 @@ class SyncwordAcquirer:
         )
         amplitude = jnp.sqrt(jnp.maximum(p_interp, 0.0)) / np.float32(self.self_corr)
         # time interpolation from neighbour samples' own best-bin powers
-        pa = best_pow[jnp.maximum(ti - 1, 0)]
-        pc = best_pow[jnp.minimum(ti + 1, tlen - 1)]
+        if pa_sel is not None:
+            pa, pc = pa_sel, pc_sel
+        else:
+            pa = best_pow[jnp.maximum(ti - 1, 0)]
+            pc = best_pow[jnp.minimum(ti + 1, tlen - 1)]
         denom_t = 2.0 * (2.0 * b - (pa + pc))
         time_est = jnp.clip(
             (pc - pa) / jnp.where(denom_t == 0, 1.0, denom_t), -0.5, 0.5
@@ -571,7 +583,8 @@ def chunked_peak_detect(
     power_threshold: float,
     fresh_lo: jax.Array | None = None,
     fresh_hi: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    best_bin: jax.Array | None = None,
+) -> tuple:
     """Windowed peak detection + CFAR as 3-4 fused passes over ``best_pow``
     (instead of ~24 log-doubling sliding-max passes — the detect tail was
     the HBM-bound stage of the roofline, docs/PERF_R3.md).
@@ -596,7 +609,14 @@ def chunked_peak_detect(
     (every qualifying event competes for the ``d`` slots directly).
 
     Returns ``(top_pow [d], top_idx [d], overflow [])`` with empty slots
-    marked by ``top_pow == -1``.
+    marked by ``top_pow == -1``. With ``best_bin`` given, returns
+    ``(top_pow, top_idx, top_bin, top_pa, top_pc, overflow)`` where
+    ``top_bin`` is each candidate's best bin and ``top_pa``/``top_pc`` its
+    neighbour samples' best powers (``best_pow[ti -/+ 1]``) — computed as
+    offset-masked reductions over the chunk rows already in hand, so the
+    estimation pass needs no gathers from the full-length planes
+    (round 5: the [T']-sized candidate gathers sat on acquire's critical
+    path).
     """
     tlen = best_pow.shape[0]
     nch = max(tlen // w, 1)
@@ -639,13 +659,41 @@ def chunked_peak_detect(
     # reference degrades via stream backpressure; here excess detections
     # would silently vanish, so the condition is surfaced)
     overflow = jnp.sum(passing.astype(jnp.int32)) > d
+    extras = []
+    if best_bin is not None:
+        # per-candidate estimation inputs as masked reductions over the
+        # SAME chunk rows (no full-length gathers): the best bin at the
+        # candidate, and the neighbour samples' best powers (offset o-1 is
+        # in this chunk unless o==0 -> prev chunk's last; o+1 unless
+        # o==w-1 -> next chunk's first). pos_ok excludes candidates whose
+        # neighbours would touch the padding.
+        bb_pad = jnp.concatenate(
+            [best_bin, jnp.zeros((pad_len,), best_bin.dtype)]
+        ).reshape(nch + 1, w)[:nch]
+        bi_c = jnp.sum(jnp.where(off == o, bb_pad, 0), axis=1)
+        # maximum(.., 0) sanitizes the -inf padding rows (only candidates
+        # pos_ok already excludes touch them; keep their values finite so
+        # no NaNs flow into the unused estimates of invalid slots)
+        pa_c = jnp.sum(jnp.where(off == o - 1, cur, 0.0), axis=1) + (
+            jnp.where(o[:, 0] == 0, jnp.maximum(prv[:, -1], 0.0), 0.0)
+        )
+        pc_c = jnp.sum(jnp.where(off == o + 1, cur, 0.0), axis=1) + (
+            jnp.where(o[:, 0] == w - 1, jnp.maximum(nxt[:, 0], 0.0), 0.0)
+        )
+        extras = [bi_c, pa_c, pc_c]
     # final slots: top-d passing peaks by power
     score = jnp.where(passing, b, -1.0)
     if nch >= d:
         top_pow, sel = jax.lax.top_k(score, d)
         top_idx = ti[sel]
+        extras = [a[sel] for a in extras]
     else:  # degenerate tiny buffers: fewer chunks than slots
         pad = d - nch
         top_pow = jnp.concatenate([score, jnp.full((pad,), -1.0)])
         top_idx = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
+        extras = [
+            jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in extras
+        ]
+    if best_bin is not None:
+        return (top_pow, top_idx, *extras, overflow)
     return top_pow, top_idx, overflow
