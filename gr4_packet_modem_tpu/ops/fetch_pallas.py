@@ -136,10 +136,14 @@ def _extract(w, s0, rpr: int):
     )
 
 
-_BATCH = 4  # regions per grid step: their DMAs are all in flight before the
-#             first wait (each overlaps the previous region's extract), and
-#             the per-step grid overhead amortizes — one region per step
-#             measured ~4.5 us each, a DMA-wait stall per step (round 5)
+import os as _os
+
+_BATCH = int(_os.environ.get("PM_FETCH_BATCH", "4"))
+# regions per grid step: their DMAs are all in flight before the first
+# wait (each overlaps the previous region's extract), and the per-step
+# grid overhead amortizes — one region per step measured ~4.5 us each, a
+# DMA-wait stall per step (round 5). PM_FETCH_BATCH overrides for A/Bs
+# (read at import; the /tmp probe verdict is batch-agnostic).
 
 
 def _kernel(starts_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, semr, semi,
